@@ -1,0 +1,136 @@
+"""Benchmark harness: MSM throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+North-star metric (BASELINE.json): variable-base MSM Mpoints/s/chip on
+BLS12-381 G1 at 2^20 points. `vs_baseline` is measured against a nominal
+single-core arkworks Pippenger throughput of 0.55 Mpoints/s (ark-ec 0.3,
+~1.9 s for a 2^20 BLS12-381 G1 MSM on a modern x86 core — the reference
+publishes no numbers, see BASELINE.md).
+
+Env overrides: MANTA_BENCH_N (log2 point count, default tries 20 then
+smaller), MANTA_BENCH_REPS (default 3), MANTA_BENCH_WINDOW (default 16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ARKWORKS_SINGLE_CORE_MPOINTS_S = 0.55
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def random_scalar_limbs(spec, n, seed=0):
+    """Uniform-ish scalars < p as (L, n) uint32 16-bit limbs (numpy-fast)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    L = spec.num_limbs
+    out = np.zeros((L, n), dtype=np.uint32)
+    top_bits = spec.bits - 16 * (spec.bits // 16) or 16
+    top_limb_index = (spec.bits - 1) // 16
+    for i in range(L):
+        if i < top_limb_index:
+            out[i] = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+        elif i == top_limb_index:
+            # keep below the modulus top limb to guarantee < p
+            top = int(spec.modulus >> (16 * top_limb_index))
+            out[i] = rng.integers(0, max(top, 1), n, dtype=np.uint32)
+    return out
+
+
+def run_msm_bench(log2n: int, reps: int, window_bits: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from manta_tpu.ops import curve as C
+    from manta_tpu.ops import field_ops as F
+    from manta_tpu.ops import msm as M
+    from manta_tpu.ops.curve import JacobianPoint
+    from manta_tpu.utils import hostmath
+
+    curve = hostmath.BLS12_381_G1
+    cops = C.curve_ops_for(curve)
+    n = 1 << log2n
+
+    log(f"[bench] devices: {jax.devices()}")
+    log(f"[bench] building {n} points (256 distinct, tiled) ...")
+    base_pts = [
+        curve.scalar_mul(k + 1, curve.generator) for k in range(256)
+    ]
+    base = cops.encode_points(base_pts)  # (L, 256)
+    tiles = n // 256
+    pts = JacobianPoint(
+        jnp.tile(base.x, (1, tiles)),
+        jnp.tile(base.y, (1, tiles)),
+        jnp.tile(base.z, (1, tiles)),
+    )
+    scalars = jnp.asarray(random_scalar_limbs(curve.scalar_field, n))
+
+    log(f"[bench] compiling MSM (2^{log2n}, window {window_bits}) ...")
+    t0 = time.time()
+    result = M.msm_jit(cops, scalars, pts, window_bits)
+    jax.block_until_ready(result)
+    log(f"[bench] compile+first run: {time.time() - t0:.1f}s")
+
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        result = M.msm_jit(cops, scalars, pts, window_bits)
+        jax.block_until_ready(result)
+        times.append(time.time() - t0)
+        log(f"[bench] rep {r}: {times[-1]:.3f}s")
+    best = min(times)
+    return n / best / 1e6, n, best
+
+
+def main():
+    reps = int(os.environ.get("MANTA_BENCH_REPS", "3"))
+    window = int(os.environ.get("MANTA_BENCH_WINDOW", "16"))
+    sizes = (
+        [int(os.environ.get("MANTA_BENCH_N"))]
+        if os.environ.get("MANTA_BENCH_N")
+        else [20, 17, 14]
+    )
+    for log2n in sizes:
+        try:
+            mpoints, n, secs = run_msm_bench(log2n, reps, window)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"msm_bls12_381_g1_2pow{log2n}_mpoints_per_s",
+                        "value": round(mpoints, 4),
+                        "unit": "Mpoints/s/chip",
+                        "vs_baseline": round(
+                            mpoints / ARKWORKS_SINGLE_CORE_MPOINTS_S, 4
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            return
+        except Exception as e:  # noqa: BLE001 — try the next size down
+            log(f"[bench] 2^{log2n} failed: {type(e).__name__}: {e}")
+    print(
+        json.dumps(
+            {
+                "metric": "msm_bls12_381_g1_mpoints_per_s",
+                "value": 0.0,
+                "unit": "Mpoints/s/chip",
+                "vs_baseline": 0.0,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

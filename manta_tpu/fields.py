@@ -68,7 +68,10 @@ class FieldSpec:
 
     @property
     def num_limbs(self) -> int:
-        return (self.bits + LIMB_BITS - 1) // LIMB_BITS
+        """Limb count sized so that 4p < R = 2^(16·L): the device kernels use
+        lazy reduction with values in [0, 2p), which requires two headroom
+        bits above the modulus (e.g. BLS12-381 Fr gets 17 limbs)."""
+        return (self.bits + 2 + LIMB_BITS - 1) // LIMB_BITS
 
     @property
     def R(self) -> int:

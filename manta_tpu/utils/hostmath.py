@@ -358,6 +358,20 @@ ED_ON_BN254 = EdwardsCurve(
     cofactor=8,
 )
 
+#: Tiny curve over a 16-bit prime (2 limbs with lazy headroom). The group
+#: order 65353 is prime. Used to exercise the full device MSM/curve machinery
+#: with small compiled graphs (tests); NOT cryptographically meaningful.
+TOY_FQ = fields.FieldSpec(name="toy_fq", modulus=65521, generator=17)
+TOY_FR = fields.FieldSpec(name="toy_fr", modulus=65353, generator=3)
+TOY_G1 = WeierstrassCurve(
+    name="toy_g1",
+    field=TOY_FQ,
+    scalar_field=TOY_FR,
+    b=17,
+    generator=(1, 1086),
+    cofactor=1,
+)
+
 ALL_CURVES = {
     c.name: c for c in (BLS12_381_G1, BLS12_381_G2, BN254_G1, BN254_G2)
 }

@@ -1,18 +1,37 @@
 """Test configuration: force a virtual 8-device CPU mesh.
 
 Tests never require the real TPU; sharding tests use 8 virtual CPU devices
-(mirroring how the driver dry-runs the multi-chip path). The env vars must be
-set before JAX is imported anywhere in the test process.
+(mirroring how the driver dry-runs the multi-chip path).
+
+This machine boots an `axon` PJRT plugin into every Python process via a
+PYTHONPATH sitecustomize, whose `register()` sets jax_platforms="axon,cpu" —
+so every lowering dials the remote TPU relay (minutes of latency/flakiness).
+For tests we override the config back to CPU-only and clear any initialized
+backends so the 8-device XLA flag takes effect on re-init.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
+# Persistent compile cache: the big-integer kernels lower to large XLA graphs
+# whose CPU compiles take minutes; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import random
 

@@ -1,0 +1,125 @@
+"""MSM + segmented-scan machinery vs host oracle.
+
+Exhaustive coverage runs on a toy 16-bit curve (2-limb fields) so the
+compiled graphs stay small; the real-curve MSM path shares every line of
+code with the toy path except the FieldSpec constants, and is exercised by
+the env-gated slow test + the benchmark harness.
+"""
+
+import os
+
+import jax.numpy as jnp
+import pytest
+
+from manta_tpu import fields
+from manta_tpu.ops import curve as C
+from manta_tpu.ops import field_ops as F
+from manta_tpu.ops import msm as M
+from manta_tpu.ops import scan as S
+from manta_tpu.utils import hostmath
+
+TOY = hostmath.TOY_G1
+SLOW = os.environ.get("MANTA_TPU_SLOW_TESTS") == "1"
+
+
+def toy_points(rng, n):
+    return [
+        TOY.scalar_mul(rng.randrange(1, TOY.scalar_field.modulus), TOY.generator)
+        for _ in range(n)
+    ]
+
+
+def test_window_digits():
+    sc = jnp.asarray(
+        F.encode_ints(fields.BN254_FR, [0x1234ABCD], montgomery=False)
+    )
+    d = M.window_digits(sc, 4)
+    got = [int(x) for x in d[:8, 0]]
+    assert got == [0xD, 0xC, 0xB, 0xA, 4, 3, 2, 1]
+
+
+class TestSegScan:
+    def test_blocked_prefix_scan(self, rng):
+        """n = 256 exercises the two-level (block tails + carry) path."""
+        ops = C.curve_ops_for(TOY)
+        n = 256
+        pts = toy_points(rng, n)
+        dev = ops.encode_points(pts)
+        scanned = S.prefix_scan(ops, dev)
+        got = ops.decode_points(scanned)
+        acc, expected = None, []
+        for p in pts:
+            acc = TOY.add(acc, p)
+            expected.append(acc)
+        assert got == expected
+
+    def test_blocked_segmented_scan(self, rng):
+        ops = C.curve_ops_for(TOY)
+        n = 256
+        pts = toy_points(rng, n)
+        # segments of irregular lengths crossing block boundaries
+        seg_ids = []
+        sid = 0
+        while len(seg_ids) < n:
+            run = rng.choice([1, 2, 3, 50, 130, 200])
+            seg_ids += [sid] * min(run, n - len(seg_ids))
+            sid += 1
+        heads = jnp.asarray(
+            [i == 0 or seg_ids[i] != seg_ids[i - 1] for i in range(n)]
+        )
+        scanned = S.seg_scan(ops, ops.encode_points(pts), heads)
+        got = ops.decode_points(scanned)
+        expected, acc = [], None
+        for i, p in enumerate(pts):
+            if i == 0 or seg_ids[i] != seg_ids[i - 1]:
+                acc = None
+            acc = TOY.add(acc, p)
+            expected.append(acc)
+        assert got == expected
+
+    def test_total_sum_with_infinities(self, rng):
+        ops = C.curve_ops_for(TOY)
+        pts = toy_points(rng, 5) + [None, None] + toy_points(rng, 1)
+        expected = None
+        for p in pts:
+            expected = TOY.add(expected, p)
+        got = ops.decode_points(S.total_sum(ops, ops.encode_points(pts)))
+        assert got == [expected]
+
+
+class TestMsm:
+    @pytest.mark.parametrize("window_bits", [4, 16])
+    @pytest.mark.parametrize("n", [8, 200])
+    def test_toy_msm(self, window_bits, n, rng):
+        ops = C.curve_ops_for(TOY)
+        r = TOY.scalar_field.modulus
+        points = toy_points(rng, n)
+        scalars = [rng.randrange(r) for _ in range(n - 3)] + [0, 1, r - 1]
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(F.encode_ints(TOY.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), window_bits)
+        assert ops.decode_points(result) == [expected]
+
+    def test_toy_msm_duplicates_and_zeros(self, rng):
+        ops = C.curve_ops_for(TOY)
+        points = [TOY.scalar_mul(k + 1, TOY.generator) for k in range(8)]
+        scalars = [5, 5, 5, 5, 0, 0, 5, 5]
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(F.encode_ints(TOY.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
+        assert ops.decode_points(result) == [expected]
+
+    @pytest.mark.skipif(
+        not SLOW, reason="set MANTA_TPU_SLOW_TESTS=1 (multi-minute XLA CPU compile)"
+    )
+    def test_bn254_msm(self, rng):
+        curve = hostmath.BN254_G1
+        ops = C.curve_ops_for(curve)
+        n = 8
+        g = curve.generator
+        points = [curve.scalar_mul(k + 1, g) for k in range(n)]
+        scalars = [rng.randrange(curve.scalar_field.modulus) for _ in range(n)]
+        expected = curve.msm(scalars, points)
+        sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
+        assert ops.decode_points(result) == [expected]
