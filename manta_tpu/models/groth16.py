@@ -138,42 +138,47 @@ def setup(
             w[col] = (w[col] + coeff * lj) % r
 
     g1, g2 = cfg.g1, cfg.g2
-    G, H = g1.generator, g2.generator
     gamma_inv = pow(gamma, -1, r)
     delta_inv = pow(delta, -1, r)
     ni = matrices.num_instance
 
+    # fixed-base window tables make the thousands of generator mults cheap
+    t1 = hostmath.FixedBaseTable(g1, g1.generator)
+    t2 = hostmath.FixedBaseTable(g2, g2.generator)
+
     gamma_abc = [
-        g1.scalar_mul((beta * u[i] + alpha * v[i] + w[i]) * gamma_inv % r, G)
+        t1.scalar_mul((beta * u[i] + alpha * v[i] + w[i]) * gamma_inv % r)
         for i in range(ni)
     ]
     l_query = [
-        g1.scalar_mul((beta * u[i] + alpha * v[i] + w[i]) * delta_inv % r, G)
+        t1.scalar_mul((beta * u[i] + alpha * v[i] + w[i]) * delta_inv % r)
         for i in range(ni, num_vars)
     ]
-    h_query = [
-        g1.scalar_mul(pow(tau, i, r) * z_tau % r * delta_inv % r, G)
-        for i in range(m - 1)
-    ]
+    tz = z_tau * delta_inv % r
+    tau_pow = 1
+    h_query = []
+    for i in range(m - 1):
+        h_query.append(t1.scalar_mul(tau_pow * tz % r))
+        tau_pow = tau_pow * tau % r
     pk = ProvingKey(
         cfg=cfg,
         domain_size=m,
-        alpha_g1=g1.scalar_mul(alpha, G),
-        beta_g1=g1.scalar_mul(beta, G),
-        delta_g1=g1.scalar_mul(delta, G),
-        a_query=[g1.scalar_mul(x, G) if x else None for x in u],
-        b_g1_query=[g1.scalar_mul(x, G) if x else None for x in v],
+        alpha_g1=t1.scalar_mul(alpha),
+        beta_g1=t1.scalar_mul(beta),
+        delta_g1=t1.scalar_mul(delta),
+        a_query=[t1.scalar_mul(x) if x else None for x in u],
+        b_g1_query=[t1.scalar_mul(x) if x else None for x in v],
         h_query=h_query,
         l_query=l_query,
-        beta_g2=g2.scalar_mul(beta, H),
-        delta_g2=g2.scalar_mul(delta, H),
-        b_g2_query=[g2.scalar_mul(x, H) if x else None for x in v],
+        beta_g2=t2.scalar_mul(beta),
+        delta_g2=t2.scalar_mul(delta),
+        b_g2_query=[t2.scalar_mul(x) if x else None for x in v],
     )
     vk = VerifyingKey(
         cfg=cfg,
         alpha_g1=pk.alpha_g1,
         beta_g2=pk.beta_g2,
-        gamma_g2=g2.scalar_mul(gamma, H),
+        gamma_g2=t2.scalar_mul(gamma),
         delta_g2=pk.delta_g2,
         gamma_abc_g1=gamma_abc,
     )
@@ -266,11 +271,7 @@ def _h_coefficients_device(fr, a_ev, b_ev, c_ev, m: int) -> List[int]:
 
 
 def _msm_host(curve, scalars, points):
-    acc = None
-    for k, pt in zip(scalars, points):
-        if k and pt is not None:
-            acc = curve.add(acc, curve.scalar_mul(k, pt))
-    return acc
+    return curve.msm_pippenger(scalars, points)
 
 
 def _msm_device(curve, scalars, points):

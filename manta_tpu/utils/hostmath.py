@@ -219,10 +219,75 @@ class WeierstrassCurve:
         return result
 
     def msm(self, scalars, points):
-        """Host MSM (slow; test oracle only)."""
+        """Host MSM (naive; test oracle only)."""
         acc = None
         for k, pt in zip(scalars, points):
             acc = self.add(acc, self.scalar_mul(k, pt))
+        return acc
+
+    def msm_pippenger(self, scalars, points, c: int = 8):
+        """Windowed-bucket Pippenger on the host (cold paths: Groth16 host
+        backend for small circuits; the hot path is the device MSM)."""
+        r = self.scalar_field.modulus
+        pairs = [
+            (k % r, pt)
+            for k, pt in zip(scalars, points)
+            if pt is not None and k % r
+        ]
+        if not pairs:
+            return None
+        nbits = self.scalar_field.bits
+        num_windows = (nbits + c - 1) // c
+        mask = (1 << c) - 1
+        result = None
+        for w in range(num_windows - 1, -1, -1):
+            if result is not None:
+                for _ in range(c):
+                    result = self.double(result)
+            buckets = [None] * (1 << c)
+            shift = w * c
+            for k, pt in pairs:
+                digit = (k >> shift) & mask
+                if digit:
+                    buckets[digit] = self.add(buckets[digit], pt)
+            running, window_sum = None, None
+            for b in range(len(buckets) - 1, 0, -1):
+                running = self.add(running, buckets[b])
+                window_sum = self.add(window_sum, running)
+            result = self.add(result, window_sum)
+        return result
+
+
+class FixedBaseTable:
+    """Precomputed window table for repeated scalar mults on one base
+    (Groth16 setup: thousands of [x]G on the generator)."""
+
+    def __init__(self, curve: WeierstrassCurve, base, window: int = 8):
+        self.curve = curve
+        self.window = window
+        nbits = curve.scalar_field.bits
+        self.num_windows = (nbits + window - 1) // window
+        self.table = []
+        current = base
+        for _ in range(self.num_windows):
+            row = [None] * (1 << window)
+            acc = None
+            for j in range(1, 1 << window):
+                acc = curve.add(acc, current)
+                row[j] = acc
+            self.table.append(row)
+            # advance base by 2^window
+            for _ in range(window):
+                current = curve.double(current)
+
+    def scalar_mul(self, k: int):
+        k %= self.curve.scalar_field.modulus
+        mask = (1 << self.window) - 1
+        acc = None
+        for w in range(self.num_windows):
+            digit = (k >> (w * self.window)) & mask
+            if digit:
+                acc = self.curve.add(acc, self.table[w][digit])
         return acc
 
 
