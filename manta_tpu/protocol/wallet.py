@@ -1,0 +1,293 @@
+"""Wallet + signer state machines.
+
+The client stack of the reference (`manta-accounting/src/wallet/`):
+
+- `Signer`: the stateful prover service — holds the spending key, account
+  state, the partial UTXO accumulator (provable paths only for owned coins),
+  processes ledger diffs (`sync`), selects coins and builds proofs
+  (`sign`), mirroring `wallet/signer/functions.rs`:
+    * sync_with: trial-decrypt every new note with the viewing key, insert
+      item hashes into the forest (keeping provability only for owned
+      coins), drop coins whose nullifiers appear spent (`functions.rs:210`).
+    * sign: coin selection (`functions.rs:490`), zero-coin padding, post
+      construction for each transaction kind (`functions.rs:1058-1303`).
+- `Wallet`: balance-tracking frontend gluing a ledger connection and a
+  signer together (`wallet/mod.rs:85`), with sync/post flows.
+
+This implementation keeps the signer and ledger in-process (the reference's
+HTTP/WebSocket RPC wrapping is a thin layer over the same Connection
+surface).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from manta_tpu.protocol import circuits as TC
+from manta_tpu.protocol import config as CFG
+from manta_tpu.protocol import keys as K
+from manta_tpu.protocol import ledger as L
+from manta_tpu.protocol import merkle as MK
+from manta_tpu.protocol import notes as N
+from manta_tpu.protocol import transfer as TX
+from manta_tpu.protocol import utxo as U
+
+
+@dataclasses.dataclass
+class OwnedCoin:
+    plaintext: N.IncomingPlaintext
+    shard: int
+    index: int
+    nullifier: int
+    spent: bool = False
+
+
+class Signer:
+    """Stateful prover: owns the spending key and the synced accumulator."""
+
+    def __init__(
+        self,
+        cfg: CFG.MantaPayConfig,
+        shape_keys: Dict[str, TX.ShapeKeys],
+        spending_key: int,
+        rng,
+        backend: str = "host",
+    ):
+        self.cfg = cfg
+        self.shape_keys = shape_keys
+        self.sk = spending_key
+        self.rng = rng
+        self.backend = backend
+        self.context = K.AuthorizationContext(
+            proof_authorization_key=K.proof_authorization_key(cfg, spending_key)
+        )
+        self.viewing_key = self.context.compute_viewing_key(cfg)
+        self.address = self.context.compute_receiving_key(cfg)
+        self.forest = MK.MerkleForest(cfg)
+        self.coins: List[OwnedCoin] = []
+        self.checkpoint = L.Checkpoint.origin(cfg)
+
+    # -- sync (reference functions.rs:210 sync_with) --
+
+    def sync(self, ledger: L.Ledger) -> Dict[int, int]:
+        """Pull the ledger diff, trial-decrypt, update state.
+        Returns balance deltas per asset id."""
+        diff = ledger.pull(self.checkpoint)
+        deltas: Dict[int, int] = {}
+        for shard, entries in sorted(diff["receivers"].items()):
+            for e in entries:
+                # keep the forest in sync with the global accumulator
+                idx = self.forest.shard(shard).insert(e["item"])
+                assert idx == e["index"], "shard log out of order"
+                pt = N.decrypt_incoming(self.cfg, self.viewing_key, e["note"])
+                if pt is None or pt.asset.value == 0:
+                    continue
+                # confirm the utxo really pays us (commitment check)
+                expected = U.utxo_commitment(
+                    self.cfg,
+                    pt.utxo_commitment_randomness,
+                    pt.asset,
+                    self.address,
+                )
+                if expected != e["utxo"].commitment:
+                    continue
+                nullifier = U.nullifier_commitment(
+                    self.cfg,
+                    self.context.proof_authorization_key,
+                    e["item"],
+                )
+                self.coins.append(
+                    OwnedCoin(
+                        plaintext=pt,
+                        shard=shard,
+                        index=e["index"],
+                        nullifier=nullifier,
+                    )
+                )
+                deltas[pt.asset.id] = deltas.get(pt.asset.id, 0) + pt.asset.value
+        for nullifier in diff["senders"]:
+            for coin in self.coins:
+                if coin.nullifier == nullifier and not coin.spent:
+                    coin.spent = True
+                    deltas[coin.plaintext.asset.id] = (
+                        deltas.get(coin.plaintext.asset.id, 0)
+                        - coin.plaintext.asset.value
+                    )
+        self.checkpoint = diff["checkpoint"]
+        return deltas
+
+    # -- balances / selection (reference asset.rs selection, functions.rs:490) --
+
+    def balance(self, asset_id: int) -> int:
+        return sum(
+            c.plaintext.asset.value
+            for c in self.coins
+            if not c.spent and c.plaintext.asset.id == asset_id
+        )
+
+    def select(self, asset_id: int, value: int) -> List[OwnedCoin]:
+        """Greedy smallest-first selection of up to 2 coins covering `value`
+        (multi-coin batching via intermediate join-splits is the widening
+        path, reference `functions.rs:748`)."""
+        available = sorted(
+            (
+                c
+                for c in self.coins
+                if not c.spent and c.plaintext.asset.id == asset_id
+            ),
+            key=lambda c: c.plaintext.asset.value,
+        )
+        # prefer a single coin that covers, else the two largest
+        for c in available:
+            if c.plaintext.asset.value >= value:
+                return [c]
+        if len(available) >= 2:
+            two = [available[-1], available[-2]]
+            if sum(c.plaintext.asset.value for c in two) >= value:
+                return two
+        raise ValueError(f"insufficient private balance for asset {asset_id}")
+
+    # -- internal builders --
+
+    def _small(self) -> int:
+        limit = min(1 << self.cfg.scalar_bits, CFG.EMBEDDED_FR.modulus)
+        return self.rng.randrange(1, limit)
+
+    def _rand_field(self) -> int:
+        return self.rng.randrange(CFG.FR.modulus)
+
+    def _sender_bundle(self, coin: OwnedCoin) -> TC.SenderBundle:
+        return TX.make_sender(
+            self.cfg,
+            self.context,
+            coin.plaintext,
+            self.forest,
+            coin.shard,
+            coin.index,
+        )
+
+    def _zero_sender(self, asset_id: int) -> TC.SenderBundle:
+        pt = N.IncomingPlaintext(
+            utxo_commitment_randomness=self._rand_field(),
+            asset=N.Asset(id=asset_id, value=0),
+        )
+        secret = U.SpendSecret(outgoing_ephemeral_secret_key=1, plaintext=pt)
+        utxo = secret.utxo(self.cfg, self.address)
+        return TC.SenderBundle(
+            secret=secret,
+            utxo=utxo,
+            nullifier=secret.nullifier(self.cfg, self.context, utxo),
+            proof=MK.MembershipProof(
+                shard=0,
+                index=0,
+                siblings=[0] * (self.cfg.merkle_height - 1),
+            ),
+            root=self.forest.root(0),
+        )
+
+    def _receiver(self, address, asset: N.Asset) -> TC.ReceiverBundle:
+        return TC.make_receiver(
+            self.cfg, address, self._small(), self._rand_field(), asset
+        )
+
+    # -- sign (reference functions.rs:1058-1303) --
+
+    def sign_to_private(self, asset: N.Asset) -> TX.TransferPost:
+        return TX.build_to_private(
+            self.cfg,
+            self.shape_keys["to_private"],
+            self.address,
+            asset,
+            esk=self._small(),
+            randomness=self._rand_field(),
+            backend=self.backend,
+        )
+
+    def _spend_parts(
+        self, asset_id: int, value: int
+    ) -> Tuple[K.Authorization, List[TC.SenderBundle], int]:
+        coins = self.select(asset_id, value)
+        senders = [self._sender_bundle(c) for c in coins]
+        if len(senders) == 1:
+            senders.append(self._zero_sender(asset_id))
+        total = sum(c.plaintext.asset.value for c in coins)
+        auth = K.Authorization.from_spending_key(self.cfg, self.sk, self._small())
+        return auth, senders, total - value  # change
+
+    def sign_private_transfer(
+        self, recipient_address, asset: N.Asset
+    ) -> TX.TransferPost:
+        auth, senders, change = self._spend_parts(asset.id, asset.value)
+        receivers = [
+            self._receiver(recipient_address, asset),
+            self._receiver(self.address, N.Asset(id=asset.id, value=change)),
+        ]
+        return TX.build_private_transfer(
+            self.cfg,
+            self.shape_keys["private_transfer"],
+            self.sk,
+            auth,
+            senders,
+            receivers,
+            nonce=self._small(),
+            backend=self.backend,
+        )
+
+    def sign_to_public(self, asset: N.Asset) -> TX.TransferPost:
+        auth, senders, change = self._spend_parts(asset.id, asset.value)
+        receiver = self._receiver(self.address, N.Asset(asset.id, change))
+        return TX.build_to_public(
+            self.cfg,
+            self.shape_keys["to_public"],
+            self.sk,
+            auth,
+            senders,
+            receiver,
+            asset_id=asset.id,
+            sink_value=asset.value,
+            nonce=self._small(),
+            backend=self.backend,
+        )
+
+
+class Wallet:
+    """Balance-tracking frontend (reference `wallet/mod.rs:85`)."""
+
+    def __init__(self, name: str, signer: Signer, ledger: L.Ledger):
+        self.name = name
+        self.signer = signer
+        self.ledger = ledger
+        self.balances: Dict[int, int] = {}
+
+    @property
+    def address(self):
+        return self.signer.address
+
+    def sync(self):
+        deltas = self.signer.sync(self.ledger)
+        for asset_id, delta in deltas.items():
+            self.balances[asset_id] = self.balances.get(asset_id, 0) + delta
+
+    def balance(self, asset_id: int) -> int:
+        return self.balances.get(asset_id, 0)
+
+    def public_balance(self, asset_id: int) -> int:
+        return self.ledger.balance(self.name, asset_id)
+
+    def to_private(self, asset: N.Asset):
+        post = self.signer.sign_to_private(asset)
+        self.ledger.post(post, source_accounts=[self.name])
+        self.sync()
+
+    def private_transfer(self, recipient_address, asset: N.Asset):
+        self.sync()
+        post = self.signer.sign_private_transfer(recipient_address, asset)
+        self.ledger.post(post)
+        self.sync()
+
+    def to_public(self, asset: N.Asset):
+        self.sync()
+        post = self.signer.sign_to_public(asset)
+        self.ledger.post(post, sink_accounts=[self.name])
+        self.sync()

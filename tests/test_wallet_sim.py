@@ -1,0 +1,60 @@
+"""Wallet/signer state machine + randomized simulation with conservation."""
+
+import pytest
+
+from manta_tpu.protocol import config as CFG
+from manta_tpu.protocol import notes as N
+from manta_tpu.protocol import simulation as SIM
+from manta_tpu.protocol import transfer as TX
+from manta_tpu.protocol import wallet as W
+from manta_tpu.protocol import ledger as L
+
+import random
+
+CFG_T = CFG.test_config()
+
+
+@pytest.fixture(scope="module")
+def shape_keys():
+    return {
+        shape: TX.setup_shape(CFG_T, shape, seed=21)
+        for shape in ("to_private", "private_transfer", "to_public")
+    }
+
+
+def test_wallet_transfer_between_actors(shape_keys):
+    ledger = L.Ledger(CFG_T, shape_keys)
+    rng = random.Random(5)
+    alice = W.Wallet(
+        "alice", W.Signer(CFG_T, shape_keys, 12345, random.Random(1)), ledger
+    )
+    bob = W.Wallet(
+        "bob", W.Signer(CFG_T, shape_keys, 67890, random.Random(2)), ledger
+    )
+    ledger.deposit("alice", 3, 500)
+    alice.to_private(N.Asset(3, 200))
+    assert alice.balance(3) == 200
+    assert alice.public_balance(3) == 300
+    alice.private_transfer(bob.address, N.Asset(3, 120))
+    bob.sync()
+    assert bob.balance(3) == 120
+    assert alice.balance(3) == 80
+    bob.to_public(N.Asset(3, 50))
+    assert bob.balance(3) == 70
+    assert bob.public_balance(3) == 50
+
+
+def test_simulation_conserves_balance(shape_keys):
+    report = SIM.run_simulation(
+        num_actors=2,
+        num_rounds=5,
+        asset_ids=(1,),
+        initial_balance=300,
+        seed=9,
+        cfg=CFG_T,
+        shape_keys=shape_keys,
+    )
+    assert report["conserved"], report
+    assert sum(
+        v for k, v in report["actions"].items() if k != "skip"
+    ) >= 1, "no actions executed"
