@@ -39,6 +39,40 @@ from manta_tpu.fields import LIMB_BITS, LIMB_MASK, FieldSpec
 MASK = jnp.uint32(LIMB_MASK)
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_enabled() -> bool:
+    """Pallas kernel dispatch: MANTA_TPU_PALLAS=1/0 forces; default auto —
+    enabled on TPU-like backends (where giant inlined limb graphs choke the
+    compiler), disabled on CPU (where tests run tiny shapes eagerly)."""
+    import os
+
+    flag = os.environ.get("MANTA_TPU_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # noqa: BLE001
+        return False
+    return platform not in ("cpu",)
+
+
+def _maybe_pallas(which: str, spec: FieldSpec, a, b):
+    """Returns the pallas result or None if the path doesn't apply."""
+    if not _pallas_enabled():
+        return None
+    from manta_tpu.ops.pallas import field_kernels as PK
+
+    try:
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+    except ValueError:
+        return None
+    a2 = jnp.broadcast_to(a, shape)
+    b2 = jnp.broadcast_to(b, shape)
+    if not PK.eligible(a2, b2):
+        return None
+    return getattr(PK, which)(spec, a2, b2)
+
+
 # ---------------------------------------------------------------------------
 # Host <-> device conversion helpers
 # ---------------------------------------------------------------------------
@@ -164,6 +198,9 @@ def _two_p_limbs(spec: FieldSpec) -> np.ndarray:
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    fast = _maybe_pallas("add", spec, a, b)
+    if fast is not None:
+        return fast
     s, carry = _add_limbs(a, b)
     two_p = jnp.asarray(_two_p_limbs(spec), dtype=jnp.uint32).reshape(
         (spec.num_limbs,) + (1,) * (s.ndim - 1)
@@ -174,6 +211,9 @@ def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    fast = _maybe_pallas("sub", spec, a, b)
+    if fast is not None:
+        return fast
     d, borrow = _sub_limbs(a, b)
     two_p = jnp.asarray(_two_p_limbs(spec), dtype=jnp.uint32).reshape(
         (spec.num_limbs,) + (1,) * (a.ndim - 1)
@@ -258,6 +298,9 @@ def redc(spec: FieldSpec, acc: jnp.ndarray) -> jnp.ndarray:
 
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product: (a·b·R^-1) mod p."""
+    fast = _maybe_pallas("mont_mul", spec, a, b)
+    if fast is not None:
+        return fast
     return redc(spec, school_prod(spec, a, b))
 
 
