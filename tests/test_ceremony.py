@@ -1,0 +1,113 @@
+"""Trusted-setup ceremony: phase-1 + phase-2 round-trip producing working keys.
+
+Mirrors the reference's `trusted_setup_phase_two_is_valid`
+(`manta-trusted-setup/src/groth16/test/mod.rs:259`): run a small KZG
+ceremony, specialize to a circuit, apply δ contributions with verified
+transcripts, extract keys, and prove/verify with them.
+"""
+
+import copy
+
+import pytest
+
+from manta_tpu import fields
+from manta_tpu.ceremony import kzg as KZG
+from manta_tpu.ceremony import phase2 as P2
+from manta_tpu.ceremony import ratio as R
+from manta_tpu.models import circuit as CC
+from manta_tpu.models import groth16 as G
+from manta_tpu.models import pairing as PR
+
+CFG = PR.BN254_PAIRING
+SIZE = 8
+
+
+def test_ratio_proof_roundtrip(rng):
+    scalar = rng.randrange(1, CFG.g1.scalar_field.modulus)
+    proof = R.RatioProof.prove(CFG, b"challenge", scalar, nonce=7)
+    assert proof.verify(CFG, b"challenge")
+    assert not proof.verify(CFG, b"other-challenge")
+    # tampered matching point
+    bad = R.RatioProof(
+        ratio=proof.ratio, matching_point=CFG.g2.double(proof.matching_point)
+    )
+    assert not bad.verify(CFG, b"challenge")
+
+
+@pytest.fixture(scope="module")
+def ceremony_keys():
+    """Phase 1 (2 contributors) -> phase 2 (2 contributors) -> keys."""
+    rngvals = [(11, 13, 17), (19, 23, 29)]
+    acc = KZG.Accumulator.default(CFG, SIZE)
+    transcripts = []
+    for i, (t, a, b) in enumerate(rngvals):
+        prev = copy.deepcopy(acc)
+        contribution = KZG.contribute(acc, t, a, b, nonce=31 + i)
+        transcripts.append((prev, copy.deepcopy(acc), contribution))
+
+    # circuit: x * y == z
+    fr = fields.BN254_FR
+    com = CC.R1CS(fr, mode="setup")
+    x = com.secret_witness(None)
+    y = com.secret_witness(None)
+    z = com.public_input(None)
+    com.assert_eq(com.mul(x, y), z)
+    matrices, _ = com.finalize()
+
+    state = P2.initialize(acc, matrices)
+    p2_transcripts = []
+    for i, delta in enumerate((101, 103)):
+        prev = copy.deepcopy(state)
+        proof = P2.contribute(state, delta, nonce=41 + i)
+        p2_transcripts.append((prev, copy.deepcopy(state), proof))
+
+    pk, vk = P2.extract_keys(state)
+    return {
+        "acc_transcripts": transcripts,
+        "p2_transcripts": p2_transcripts,
+        "matrices": matrices,
+        "pk": pk,
+        "vk": vk,
+    }
+
+
+def test_phase1_transcript_verifies(ceremony_keys):
+    for prev, nxt, contribution in ceremony_keys["acc_transcripts"]:
+        assert KZG.verify_transform(prev, nxt, contribution)
+
+
+def test_phase1_bad_transform_rejected(ceremony_keys):
+    prev, nxt, contribution = ceremony_keys["acc_transcripts"][0]
+    tampered = copy.deepcopy(nxt)
+    tampered.tau_powers_g1[2] = CFG.g1.double(tampered.tau_powers_g1[2])
+    assert not KZG.verify_transform(prev, tampered, contribution)
+
+
+def test_phase2_transcript_verifies(ceremony_keys):
+    for prev, nxt, proof in ceremony_keys["p2_transcripts"]:
+        assert P2.verify_transform(prev, nxt, proof)
+
+
+def test_phase2_bad_transform_rejected(ceremony_keys):
+    prev, nxt, proof = ceremony_keys["p2_transcripts"][0]
+    tampered = copy.deepcopy(nxt)
+    tampered.l_query = [CFG.g1.double(pt) for pt in tampered.l_query]
+    assert not P2.verify_transform(prev, tampered, proof)
+
+
+def test_ceremony_keys_prove_and_verify(ceremony_keys, rng):
+    fr = fields.BN254_FR
+    x = rng.randrange(fr.modulus)
+    y = rng.randrange(fr.modulus)
+    z = x * y % fr.modulus
+    com = CC.R1CS(fr, mode="prove")
+    xv = com.secret_witness(x)
+    yv = com.secret_witness(y)
+    zv = com.public_input(z)
+    com.assert_eq(com.mul(xv, yv), zv)
+    _, assignment = com.finalize()
+    proof = G.prove(
+        ceremony_keys["pk"], ceremony_keys["matrices"], assignment, 3, 5
+    )
+    assert G.verify(ceremony_keys["vk"], proof, [z])
+    assert not G.verify(ceremony_keys["vk"], proof, [(z + 1) % fr.modulus])
