@@ -29,6 +29,19 @@ from manta_tpu.protocol import utxo as U
 
 
 @dataclasses.dataclass
+class ReceiverPost:
+    """Public receiver data carried on-chain: the UTXO and its note
+    (NEVER the mint secret — reference `ReceiverPost`)."""
+
+    utxo: U.Utxo
+    note: N.IncomingNote
+
+
+def strip_receiver(bundle: TC.ReceiverBundle) -> ReceiverPost:
+    return ReceiverPost(utxo=bundle.utxo, note=bundle.note)
+
+
+@dataclasses.dataclass
 class TransferPost:
     shape: str
     asset_id: Optional[int]  # public asset id (ToPrivate / ToPublic)
@@ -198,7 +211,7 @@ def build_to_private(
         source_values=[asset.value],
         sink_values=[],
         sender_posts=[],
-        receiver_posts=[{"bundle": receiver}],
+        receiver_posts=[{"bundle": strip_receiver(receiver)}],
         authorization_key=None,
         signature=None,
         proof=proof,
@@ -279,7 +292,7 @@ def build_private_transfer(
             sender_posts=[
                 {"root": s.root, "nullifier": s.nullifier} for s in senders
             ],
-            receiver_posts=[{"bundle": r} for r in receivers],
+            receiver_posts=[{"bundle": strip_receiver(r)} for r in receivers],
         ),
         nonce,
         backend,
@@ -319,7 +332,7 @@ def build_to_public(
             sender_posts=[
                 {"root": s.root, "nullifier": s.nullifier} for s in senders
             ],
-            receiver_posts=[{"bundle": receiver}],
+            receiver_posts=[{"bundle": strip_receiver(receiver)}],
         ),
         nonce,
         backend,

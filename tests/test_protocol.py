@@ -153,16 +153,17 @@ class TestTransferLifecycle:
 
         # locate Alice's two UTXOs in the forest
         def sender_for(post):
-            bundle = post.receiver_posts[0]["bundle"]
-            item = U.item_hash(cfg, bundle.utxo)
+            rp = post.receiver_posts[0]["bundle"]
+            # recover the plaintext the way a real wallet does: decrypt the note
+            vk = K.viewing_key(cfg, K.proof_authorization_key(cfg, sk))
+            pt = N.decrypt_incoming(cfg, vk, rp.note)
+            assert pt is not None
+            item = U.item_hash(cfg, rp.utxo)
             shard = U.shard_index(cfg, item)
             log = ledger.shard_log[shard]
-            index = next(
-                e["index"] for e in log if e["utxo"] == bundle.utxo
-            )
+            index = next(e["index"] for e in log if e["utxo"] == rp.utxo)
             return TX.make_sender(
-                cfg, context, bundle.secret.plaintext, ledger.forest,
-                shard, index,
+                cfg, context, pt, ledger.forest, shard, index,
             )
 
         senders = [sender_for(post1), sender_for(post2)]
@@ -258,12 +259,14 @@ class TestTransferLifecycle:
             proof_authorization_key=K.proof_authorization_key(cfg, sk)
         )
         auth = K.Authorization.from_spending_key(cfg, sk, small(rng))
-        bundle = post1.receiver_posts[0]["bundle"]
-        item = U.item_hash(cfg, bundle.utxo)
+        rp = post1.receiver_posts[0]["bundle"]
+        vk = K.viewing_key(cfg, K.proof_authorization_key(cfg, sk))
+        pt_dec = N.decrypt_incoming(cfg, vk, rp.note)
+        item = U.item_hash(cfg, rp.utxo)
         shard = U.shard_index(cfg, item)
         index = ledger.shard_log[shard][-1]["index"]
         sender = TX.make_sender(
-            cfg, context, bundle.secret.plaintext, ledger.forest, shard, index
+            cfg, context, pt_dec, ledger.forest, shard, index
         )
         zero_pt = N.IncomingPlaintext(
             utxo_commitment_randomness=rng.randrange(CFG.FR.modulus),
