@@ -1,0 +1,129 @@
+"""Ceremony coordinator (queue/locks/signatures/recovery) + signer RPC e2e."""
+
+import copy
+import random
+import time
+
+import pytest
+
+from manta_tpu import fields
+from manta_tpu.ceremony import coordinator as CO
+from manta_tpu.ceremony import kzg as KZG
+from manta_tpu.ceremony import phase2 as P2
+from manta_tpu.models import circuit as CC
+from manta_tpu.models import pairing as PR
+from manta_tpu.protocol import config as CFG
+from manta_tpu.protocol import ledger as L
+from manta_tpu.protocol import notes as N
+from manta_tpu.protocol import rpc as RPC
+from manta_tpu.protocol import signer_rpc as SR
+from manta_tpu.protocol import transfer as TX
+from manta_tpu.protocol import wallet as W
+
+CFG_T = CFG.test_config()
+
+
+class TestSignedMessages:
+    def test_roundtrip_and_replay(self):
+        sk, pk = CO.generate_keypair()
+        sig = CO.sign_message(sk, 1, b"hello")
+        assert CO.verify_message(pk, 1, b"hello", sig)
+        assert not CO.verify_message(pk, 2, b"hello", sig)  # nonce mismatch
+        assert not CO.verify_message(pk, 1, b"evil", sig)
+
+    def test_registry_nonce_monotonicity(self):
+        reg = CO.Registry()
+        sk, pk = CO.generate_keypair()
+        reg.register("alice", pk, priority=1)
+        state = _tiny_phase2_state()
+        c = CO.Coordinator(state, reg)
+        sig = CO.sign_message(sk, 5, b"enqueue")
+        assert c._check_signature("alice", 5, b"enqueue", sig.hex())
+        # replay with the same nonce is rejected
+        assert not c._check_signature("alice", 5, b"enqueue", sig.hex())
+
+
+def _tiny_phase2_state():
+    acc = KZG.Accumulator.default(PR.BN254_PAIRING, 4)
+    KZG.contribute(acc, 7, 9, 11, nonce=1)
+    fr = fields.BN254_FR
+    com = CC.R1CS(fr, mode="setup")
+    x = com.secret_witness(None)
+    z = com.public_input(None)
+    com.assert_eq(com.mul(x, x), z)
+    matrices, _ = com.finalize()
+    return P2.initialize(acc, matrices)
+
+
+class TestLockQueue:
+    def test_priority_and_expiry(self):
+        reg = CO.Registry()
+        for name, prio in (("low", 0), ("high", 5)):
+            _, pk = CO.generate_keypair()
+            reg.register(name, pk, priority=prio)
+        q = CO.LockQueue(lock_timeout=0.05)
+        q.join(reg, "low")
+        q.join(reg, "high")
+        assert not q.try_acquire("low")  # high priority goes first
+        assert q.try_acquire("high")
+        assert q.position("low") == 1
+        time.sleep(0.08)
+        q.update_expired_lock()
+        assert q.holder is None  # lock expired
+        assert q.try_acquire("low")
+
+
+class TestCoordinator:
+    def test_round_flow_and_recovery(self, tmp_path):
+        reg = CO.Registry()
+        _, pk = CO.generate_keypair()
+        reg.register("carol", pk, priority=0)
+        initial = _tiny_phase2_state()
+        c = CO.Coordinator(
+            copy.deepcopy(initial), reg, recovery_dir=str(tmp_path)
+        )
+        c.enqueue("carol")
+        state = c.get_state("carol")
+        assert state is not None
+        new_state = copy.deepcopy(state)
+        proof = P2.contribute(new_state, 1234, nonce=3)
+        assert c.contribute("carol", new_state, proof)
+        assert c.round == 1
+        # wrong holder cannot contribute
+        assert not c.contribute("mallory", new_state, proof)
+        # transcript verification from recovery files
+        assert c.verify_full_transcript(initial)
+        # server recovery
+        c2 = CO.Coordinator.recover(str(tmp_path), reg)
+        assert c2.round == 1
+        assert c2.state.delta_g1 == c.state.delta_g1
+
+
+@pytest.fixture(scope="module")
+def tp_keys():
+    return {"to_private": TX.setup_shape(CFG_T, "to_private", seed=44)}
+
+
+def test_signer_rpc_end_to_end(tp_keys):
+    """wallet -> signer daemon -> ledger daemon, three processes' surfaces."""
+    ledger = L.Ledger(CFG_T, tp_keys)
+    ledger.deposit("erin", 4, 300)
+    ledger_srv = RPC.LedgerServer(ledger).start()
+    signer = W.Signer(CFG_T, tp_keys, 55555, random.Random(8))
+    signer_srv = SR.SignerServer(
+        signer, f"http://127.0.0.1:{ledger_srv.port}"
+    ).start()
+    try:
+        client = SR.SignerClient(f"http://127.0.0.1:{signer_srv.port}")
+        addr = client.address()
+        assert addr == signer.address
+        post = client.sign("to_private", N.Asset(4, 120))
+        ledger_client = RPC.LedgerClient(f"http://127.0.0.1:{ledger_srv.port}")
+        ledger_client.push(post, sources=["erin"])
+        deltas = client.sync()
+        assert deltas.get(4) == 120
+        assert client.balance(4) == 120
+        assert ledger.balance("erin", 4) == 180
+    finally:
+        signer_srv.stop()
+        ledger_srv.stop()
