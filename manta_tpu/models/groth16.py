@@ -282,6 +282,12 @@ def _msm_device(curve, scalars, points):
     from manta_tpu.ops import msm as M
 
     cops = C.curve_ops_for(curve)
+    # pad to a kernel-friendly power-of-two length (zero scalars are inert);
+    # rounding up to a fixed grid of sizes keeps the compile cache small
+    n = max(256, 1 << (len(scalars) - 1).bit_length())
+    scalars = list(scalars) + [0] * (n - len(scalars))
+    points = list(points) + [None] * (n - len(points))
+    points = [curve.generator if p is None else p for p in points]
     sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
     pts = cops.encode_points(points)
     return cops.decode_points(M.msm_jit(cops, sc, pts, 16))[0]

@@ -77,9 +77,17 @@ class Signer:
         deltas: Dict[int, int] = {}
         for shard, entries in sorted(diff["receivers"].items()):
             for e in entries:
-                # keep the forest in sync with the global accumulator
-                idx = self.forest.shard(shard).insert(e["item"])
-                assert idx == e["index"], "shard log out of order"
+                # keep the forest in sync with the global accumulator;
+                # entries inserted speculatively while building batched
+                # transactions are verified instead of re-inserted
+                tree = self.forest.shard(shard)
+                if len(tree) > e["index"]:
+                    assert tree.leaves[e["index"]] == e["item"], (
+                        "speculative forest diverged from ledger"
+                    )
+                else:
+                    idx = tree.insert(e["item"])
+                    assert idx == e["index"], "shard log out of order"
                 pt = N.decrypt_incoming(self.cfg, self.viewing_key, e["note"])
                 if pt is None or pt.asset.value == 0:
                     continue
@@ -127,9 +135,10 @@ class Signer:
         )
 
     def select(self, asset_id: int, value: int) -> List[OwnedCoin]:
-        """Greedy smallest-first selection of up to 2 coins covering `value`
-        (multi-coin batching via intermediate join-splits is the widening
-        path, reference `functions.rs:748`)."""
+        """Greedy smallest-first selection covering `value`; may return more
+        than 2 coins — `_spend_parts` consolidates the surplus through
+        intermediate join-split PrivateTransfers (the reference's batched
+        transactions, `functions.rs:748`)."""
         available = sorted(
             (
                 c
@@ -138,14 +147,16 @@ class Signer:
             ),
             key=lambda c: c.plaintext.asset.value,
         )
-        # prefer a single coin that covers, else the two largest
+        # a single coin that covers, else accumulate largest-first
         for c in available:
             if c.plaintext.asset.value >= value:
                 return [c]
-        if len(available) >= 2:
-            two = [available[-1], available[-2]]
-            if sum(c.plaintext.asset.value for c in two) >= value:
-                return two
+        chosen, total = [], 0
+        for c in reversed(available):
+            chosen.append(c)
+            total += c.plaintext.asset.value
+            if total >= value:
+                return chosen
         raise ValueError(f"insufficient private balance for asset {asset_id}")
 
     # -- internal builders --
@@ -204,26 +215,74 @@ class Signer:
             backend=self.backend,
         )
 
+    def _join_coins(self, asset_id: int, c1: OwnedCoin, c2: OwnedCoin):
+        """One intermediate join-split: spend (c1, c2) into a single coin to
+        self (+ a zero coin), speculatively inserting the outputs into the
+        local forest so the next proof can reference them
+        (reference `functions.rs:748` compute_batched_transactions)."""
+        from manta_tpu.protocol import utxo as UU
+
+        combined_value = c1.plaintext.asset.value + c2.plaintext.asset.value
+        auth = K.Authorization.from_spending_key(self.cfg, self.sk, self._small())
+        senders = [self._sender_bundle(c1), self._sender_bundle(c2)]
+        combined = self._receiver(self.address, N.Asset(asset_id, combined_value))
+        zero = self._receiver(self.address, N.Asset(asset_id, 0))
+        post = TX.build_private_transfer(
+            self.cfg,
+            self.shape_keys["private_transfer"],
+            self.sk,
+            auth,
+            senders,
+            [combined, zero],
+            nonce=self._small(),
+            backend=self.backend,
+        )
+        c1.spent = c2.spent = True
+        # speculative accumulator update (ledger will do the same in order)
+        new_coin = None
+        for bundle in (combined, zero):
+            item = UU.item_hash(self.cfg, bundle.utxo)
+            shard = UU.shard_index(self.cfg, item)
+            index = self.forest.shard(shard).insert(item)
+            if bundle is combined:
+                nullifier = UU.nullifier_commitment(
+                    self.cfg, self.context.proof_authorization_key, item
+                )
+                new_coin = OwnedCoin(
+                    plaintext=bundle.secret.plaintext,
+                    shard=shard,
+                    index=index,
+                    nullifier=nullifier,
+                )
+                self.coins.append(new_coin)
+        return post, new_coin
+
     def _spend_parts(
         self, asset_id: int, value: int
-    ) -> Tuple[K.Authorization, List[TC.SenderBundle], int]:
+    ) -> Tuple[list, K.Authorization, List[TC.SenderBundle], int]:
         coins = self.select(asset_id, value)
+        pre_posts = []
+        while len(coins) > 2:
+            coins.sort(key=lambda c: c.plaintext.asset.value)
+            post, joined = self._join_coins(asset_id, coins[0], coins[1])
+            pre_posts.append(post)
+            coins = coins[2:] + [joined]
         senders = [self._sender_bundle(c) for c in coins]
         if len(senders) == 1:
             senders.append(self._zero_sender(asset_id))
         total = sum(c.plaintext.asset.value for c in coins)
         auth = K.Authorization.from_spending_key(self.cfg, self.sk, self._small())
-        return auth, senders, total - value  # change
+        return pre_posts, auth, senders, total - value  # change
 
     def sign_private_transfer(
         self, recipient_address, asset: N.Asset
-    ) -> TX.TransferPost:
-        auth, senders, change = self._spend_parts(asset.id, asset.value)
+    ) -> List[TX.TransferPost]:
+        pre, auth, senders, change = self._spend_parts(asset.id, asset.value)
         receivers = [
             self._receiver(recipient_address, asset),
             self._receiver(self.address, N.Asset(id=asset.id, value=change)),
         ]
-        return TX.build_private_transfer(
+        final = TX.build_private_transfer(
             self.cfg,
             self.shape_keys["private_transfer"],
             self.sk,
@@ -233,11 +292,12 @@ class Signer:
             nonce=self._small(),
             backend=self.backend,
         )
+        return pre + [final]
 
-    def sign_to_public(self, asset: N.Asset) -> TX.TransferPost:
-        auth, senders, change = self._spend_parts(asset.id, asset.value)
+    def sign_to_public(self, asset: N.Asset) -> List[TX.TransferPost]:
+        pre, auth, senders, change = self._spend_parts(asset.id, asset.value)
         receiver = self._receiver(self.address, N.Asset(asset.id, change))
-        return TX.build_to_public(
+        final = TX.build_to_public(
             self.cfg,
             self.shape_keys["to_public"],
             self.sk,
@@ -249,6 +309,7 @@ class Signer:
             nonce=self._small(),
             backend=self.backend,
         )
+        return pre + [final]
 
 
 class Wallet:
@@ -282,12 +343,15 @@ class Wallet:
 
     def private_transfer(self, recipient_address, asset: N.Asset):
         self.sync()
-        post = self.signer.sign_private_transfer(recipient_address, asset)
-        self.ledger.post(post)
+        for post in self.signer.sign_private_transfer(recipient_address, asset):
+            self.ledger.post(post)
         self.sync()
 
     def to_public(self, asset: N.Asset):
         self.sync()
-        post = self.signer.sign_to_public(asset)
-        self.ledger.post(post, sink_accounts=[self.name])
+        for post in self.signer.sign_to_public(asset):
+            self.ledger.post(
+                post,
+                sink_accounts=[self.name] if post.shape == "to_public" else None,
+            )
         self.sync()

@@ -58,3 +58,25 @@ def test_simulation_conserves_balance(shape_keys):
     assert sum(
         v for k, v in report["actions"].items() if k != "skip"
     ) >= 1, "no actions executed"
+
+
+def test_batched_multi_coin_spend(shape_keys):
+    """Spending >2 coins chains an intermediate join-split post
+    (reference compute_batched_transactions, functions.rs:748)."""
+    ledger = L.Ledger(CFG_T, shape_keys)
+    rng = random.Random(17)
+    w = W.Wallet(
+        "frank", W.Signer(CFG_T, shape_keys, 424242, random.Random(3)), ledger
+    )
+    ledger.deposit("frank", 6, 300)
+    for v in (40, 50, 60):
+        w.to_private(N.Asset(6, v))
+    assert w.balance(6) == 150
+    # needs all three coins -> one join-split + final transfer
+    other = W.Wallet(
+        "grace", W.Signer(CFG_T, shape_keys, 515151, random.Random(4)), ledger
+    )
+    w.private_transfer(other.address, N.Asset(6, 140))
+    other.sync()
+    assert other.balance(6) == 140
+    assert w.balance(6) == 10
