@@ -355,3 +355,78 @@ class Wallet:
                 sink_accounts=[self.name] if post.shape == "to_public" else None,
             )
         self.sync()
+
+
+# ---------------------------------------------------------------------------
+# Signer state persistence (reference `StorageState`, `signer/mod.rs:98`,
+# encrypted at rest via fs/serde + cocoon)
+# ---------------------------------------------------------------------------
+
+
+def save_signer_state(signer: Signer, path: str, password: bytes) -> None:
+    """Snapshot the signer's synced state into a sealed container."""
+    import json
+
+    from manta_tpu.utils import keystore as KS
+
+    state = {
+        "checkpoint": {
+            "receiver_index": list(signer.checkpoint.receiver_index),
+            "sender_index": signer.checkpoint.sender_index,
+        },
+        "coins": [
+            {
+                "randomness": hex(c.plaintext.utxo_commitment_randomness),
+                "asset": [hex(c.plaintext.asset.id), hex(c.plaintext.asset.value)],
+                "shard": c.shard,
+                "index": c.index,
+                "nullifier": hex(c.nullifier),
+                "spent": c.spent,
+            }
+            for c in signer.coins
+        ],
+        "forest": {
+            str(shard): [hex(leaf) for leaf in tree.leaves]
+            for shard, tree in signer.forest.shards.items()
+        },
+    }
+    KS.save_sealed(path, password, json.dumps(state).encode())
+
+
+def load_signer_state(signer: Signer, path: str, password: bytes) -> bool:
+    """Restore a snapshot into a freshly-constructed signer. Returns False
+    on missing file or wrong password."""
+    import json
+
+    from manta_tpu.protocol import ledger as LL
+    from manta_tpu.protocol import notes as NN
+    from manta_tpu.utils import keystore as KS
+
+    raw = KS.load_sealed(path, password)
+    if raw is None:
+        return False
+    state = json.loads(raw)
+    signer.checkpoint = LL.Checkpoint(
+        receiver_index=tuple(state["checkpoint"]["receiver_index"]),
+        sender_index=state["checkpoint"]["sender_index"],
+    )
+    signer.coins = [
+        OwnedCoin(
+            plaintext=NN.IncomingPlaintext(
+                utxo_commitment_randomness=int(c["randomness"], 16),
+                asset=NN.Asset(
+                    id=int(c["asset"][0], 16), value=int(c["asset"][1], 16)
+                ),
+            ),
+            shard=c["shard"],
+            index=c["index"],
+            nullifier=int(c["nullifier"], 16),
+            spent=c["spent"],
+        )
+        for c in state["coins"]
+    ]
+    for shard_str, leaves in state["forest"].items():
+        tree = signer.forest.shard(int(shard_str))
+        for leaf in leaves:
+            tree.insert(int(leaf, 16))
+    return True

@@ -80,3 +80,26 @@ def test_batched_multi_coin_spend(shape_keys):
     other.sync()
     assert other.balance(6) == 140
     assert w.balance(6) == 10
+
+
+def test_signer_state_persistence(shape_keys, tmp_path):
+    """Save a synced signer, reload into a fresh one, continue spending
+    (reference StorageState + encrypted fs)."""
+    ledger = L.Ledger(CFG_T, shape_keys)
+    w = W.Wallet(
+        "heidi", W.Signer(CFG_T, shape_keys, 777777, random.Random(6)), ledger
+    )
+    ledger.deposit("heidi", 8, 200)
+    w.to_private(N.Asset(8, 90))
+    path = str(tmp_path / "signer.sealed")
+    W.save_signer_state(w.signer, path, b"pw")
+
+    fresh = W.Signer(CFG_T, shape_keys, 777777, random.Random(7))
+    assert W.load_signer_state(fresh, path, b"pw")
+    assert fresh.balance(8) == 90
+    # restored signer can actually spend (proofs verify against the ledger)
+    w2 = W.Wallet("heidi", fresh, ledger)
+    w2.balances[8] = 90
+    w2.to_public(N.Asset(8, 40))
+    assert ledger.balance("heidi", 8) == 150
+    assert not W.load_signer_state(fresh, path, b"wrong")
