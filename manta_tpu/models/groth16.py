@@ -282,10 +282,14 @@ def _msm_device(curve, scalars, points):
     from manta_tpu.ops import msm as M
 
     cops = C.curve_ops_for(curve)
-    # pad to a kernel-friendly power-of-two length (zero scalars are inert);
-    # rounding up to a fixed grid of sizes keeps the compile cache small
+    # None query points mean "zero polynomial" — their scalars must not
+    # contribute; then pad to a kernel-friendly power-of-two length
+    # (zero scalars are inert on any point)
+    scalars = [
+        k if p is not None else 0 for k, p in zip(scalars, points)
+    ]
     n = max(256, 1 << (len(scalars) - 1).bit_length())
-    scalars = list(scalars) + [0] * (n - len(scalars))
+    scalars = scalars + [0] * (n - len(scalars))
     points = list(points) + [None] * (n - len(points))
     points = [curve.generator if p is None else p for p in points]
     sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))

@@ -166,3 +166,57 @@ class MerkleForest:
             and compute_root(self.cfg, item, proof.index, proof.siblings)
             == tree.root
         )
+
+
+class ForkedForest:
+    """Copy-on-write fork of a MerkleForest for speculative ledger state.
+
+    The reference's fork/trunk machinery (`manta-crypto/src/merkle_tree/
+    fork.rs`: `Trunk`/`Fork`/`ForkedTree`) lets actors build posts against a
+    speculative view and merge or discard it. This fork records insertions
+    as an overlay; `merge()` applies them to the base forest, `discard()`
+    drops them. Reads see base + overlay.
+    """
+
+    def __init__(self, base: MerkleForest):
+        self.base = base
+        self.cfg = base.cfg
+        self._overlay: Dict[int, List[int]] = {}
+        # cached forked trees rebuilt lazily per shard
+        self._forked: Dict[int, ShardTree] = {}
+
+    def _tree(self, shard: int) -> ShardTree:
+        if shard not in self._forked:
+            tree = ShardTree(self.cfg)
+            for leaf in self.base.shard(shard).leaves:
+                tree.insert(leaf)
+            for leaf in self._overlay.get(shard, []):
+                tree.insert(leaf)
+            self._forked[shard] = tree
+        return self._forked[shard]
+
+    def insert_item(self, item: int) -> MembershipProof:
+        s = shard_index(self.cfg, item)
+        tree = self._tree(s)  # materialize the fork BEFORE recording overlay
+        self._overlay.setdefault(s, []).append(item)
+        idx = tree.insert(item)
+        return MembershipProof(shard=s, index=idx, siblings=tree.path(idx))
+
+    def root(self, shard: int) -> int:
+        if shard in self._forked or shard in self._overlay:
+            return self._tree(shard).root
+        return self.base.root(shard)
+
+    def merge(self) -> None:
+        """Apply the speculative insertions to the trunk
+        (reference `fork.rs:1022` merge_fork)."""
+        for shard, leaves in self._overlay.items():
+            base_tree = self.base.shard(shard)
+            for leaf in leaves:
+                base_tree.insert(leaf)
+        self._overlay.clear()
+        self._forked.clear()
+
+    def discard(self) -> None:
+        self._overlay.clear()
+        self._forked.clear()

