@@ -94,7 +94,10 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     for r in range(reps):
         t0 = time.time()
         result = M.msm_jit(cops, scalars, pts, window_bits)
-        jax.block_until_ready(result)
+        # fetch (not just block): through the axon relay, block_until_ready
+        # can return before pure-XLA programs actually execute — a value
+        # fetch is the only trustworthy completion barrier
+        jax.device_get(result.x)
         times.append(time.time() - t0)
         log(f"[bench] rep {r}: {times[-1]:.3f}s")
     best = min(times)

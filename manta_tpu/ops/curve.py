@@ -172,12 +172,22 @@ class JacobianPoint(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class CurveOps:
-    """Batched group ops for one short-Weierstrass a=0 curve."""
+    """Batched group ops for one short-Weierstrass a=0 curve.
+
+    backend: "limb" (Montgomery limb vectors, Pallas-accelerated) or "rns"
+    (residue number system, MXU-accelerated — G1/prime-field curves only).
+    """
 
     curve: hostmath.WeierstrassCurve
+    backend: str = "limb"
 
     @functools.cached_property
     def ops(self):
+        if self.backend == "rns":
+            assert not self.curve.is_ext, "RNS backend: prime-field curves only"
+            from manta_tpu.ops.rns import RnsCoordOps
+
+            return RnsCoordOps(self.curve.field)
         return Fq2Ops(self.curve.field) if self.curve.is_ext else CoordOps(
             self.curve.field
         )
@@ -399,9 +409,13 @@ _NAMED = {
 
 
 @functools.lru_cache(maxsize=None)
-def _ops_cache(curve: hostmath.WeierstrassCurve) -> CurveOps:
-    return CurveOps(curve)
+def _ops_cache(curve: hostmath.WeierstrassCurve, backend: str) -> CurveOps:
+    return CurveOps(curve, backend)
 
 
-def curve_ops_for(curve: hostmath.WeierstrassCurve) -> CurveOps:
-    return _NAMED.get(curve.name) or _ops_cache(curve)
+def curve_ops_for(
+    curve: hostmath.WeierstrassCurve, backend: str = "limb"
+) -> CurveOps:
+    if backend == "limb" and curve.name in _NAMED:
+        return _NAMED[curve.name]
+    return _ops_cache(curve, backend)

@@ -75,9 +75,9 @@ def _bucket_sums(
 
     inf = cops.infinity_like(
         JacobianPoint(
-            jnp.zeros(bucket_shape(points.x), jnp.uint32),
-            jnp.zeros(bucket_shape(points.y), jnp.uint32),
-            jnp.zeros(bucket_shape(points.z), jnp.uint32),
+            jnp.zeros(bucket_shape(points.x), points.x.dtype),
+            jnp.zeros(bucket_shape(points.y), points.y.dtype),
+            jnp.zeros(bucket_shape(points.z), points.z.dtype),
         )
     )
     return JacobianPoint(
@@ -152,9 +152,9 @@ def msm(
 
     shape1 = lambda a: (num_windows, *a.shape[:-1], 1)
     init = (
-        jnp.zeros(shape1(points.x), jnp.uint32),
-        jnp.zeros(shape1(points.y), jnp.uint32),
-        jnp.zeros(shape1(points.z), jnp.uint32),
+        jnp.zeros(shape1(points.x), points.x.dtype),
+        jnp.zeros(shape1(points.y), points.y.dtype),
+        jnp.zeros(shape1(points.z), points.z.dtype),
     )
     wx, wy, wz = jax.lax.fori_loop(0, num_windows, window_body, init)
 
