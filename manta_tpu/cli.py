@@ -115,12 +115,19 @@ def cmd_measure():
     for name, cfg in (("test", CFG.test_config()), ("production", CFG.production())):
         print(f"[{name} config]")
         for shape in ("to_private", "private_transfer", "to_public"):
-            matrices = TX.compile_shape(cfg, shape)
+            from manta_tpu.models import circuit as CC
+            from manta_tpu.protocol import circuits as TCC
+
+            com = CC.R1CS(cfg.field, mode="setup")
+            TCC.SHAPES[shape](com, cfg, None)
+            matrices, _ = com.finalize()
             print(
                 f"  {shape:18s} constraints={matrices.num_constraints:7d} "
                 f"instance={matrices.num_instance:4d} "
                 f"witness={matrices.num_witness:7d}"
             )
+            for label, dc, dw in com.measurements:
+                print(f"      {label:14s} +{dc} constraints, +{dw} witnesses")
 
 
 def main(argv):

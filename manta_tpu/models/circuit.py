@@ -101,6 +101,24 @@ class R1CS:
         # constraints as (a_lc, b_lc, c_lc) with GLOBAL wire keys:
         #   0 -> one, (1, i) -> public i, (2, j) -> witness j
         self.constraints: List[Tuple[dict, dict, dict]] = []
+        #: labeled measurement regions: name -> (constraints, witnesses)
+        #: (the reference's Instrument, `manta-crypto/src/constraint.rs:320`)
+        self.measurements: List[Tuple[str, int, int]] = []
+
+    def instrument(self, label: str):
+        """Context manager attributing constraint/witness deltas to `label`
+        (reference `print_measurement`/`Instrument`)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _region():
+            c0, w0 = len(self.constraints), len(self.witness_values)
+            yield
+            self.measurements.append(
+                (label, len(self.constraints) - c0, len(self.witness_values) - w0)
+            )
+
+        return _region()
 
     # -- allocation --
 

@@ -37,6 +37,14 @@ from manta_tpu.protocol import utxo as U
 VALUE_BITS = 128
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _null():
+    yield
+
+
 # ---------------------------------------------------------------------------
 # Edwards curve gadgets (a = 1 twisted Edwards over the constraint field)
 # ---------------------------------------------------------------------------
@@ -476,11 +484,18 @@ def private_transfer_circuit(
     receiver0 block, receiver1 block].
     """
     d = data or {}
-    pak = _authorization_circuit(com, cfg, d.get("authorization"))
+    with com.instrument("authorization") if hasattr(com, "instrument") else _null():
+        pak = _authorization_circuit(com, cfg, d.get("authorization"))
     senders = d.get("senders", [None, None])
     receivers = d.get("receivers", [None, None])
-    s_assets = [_sender_circuit(com, cfg, pak, s) for s in senders]
-    r_assets = [_receiver_circuit(com, cfg, r) for r in receivers]
+    s_assets = []
+    for i, s in enumerate(senders):
+        with com.instrument(f"sender{i}") if hasattr(com, "instrument") else _null():
+            s_assets.append(_sender_circuit(com, cfg, pak, s))
+    r_assets = []
+    for i, r in enumerate(receivers):
+        with com.instrument(f"receiver{i}") if hasattr(com, "instrument") else _null():
+            r_assets.append(_receiver_circuit(com, cfg, r))
     # all asset ids equal
     CC.assert_all_eq(
         com, [s_assets[0][0], s_assets[1][0], r_assets[0][0], r_assets[1][0]]
