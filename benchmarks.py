@@ -36,6 +36,14 @@ import jax.numpy as jnp
 ROWS = []
 
 
+def fetch(x):
+    """Value fetch: the only trustworthy completion barrier through the
+    TPU relay (block_until_ready can return early for pure-XLA programs)."""
+    import jax
+
+    return jax.device_get(jax.tree.leaves(x)[0])
+
+
 def bench(name, fn, reps=3, warmup=1):
     for _ in range(warmup):
         fn()
@@ -73,7 +81,7 @@ def main():
     jax.block_until_ready(out)
     bench(
         f"poseidon-2 hash x{batch} (device)",
-        lambda: jax.block_until_ready(P.hash_jit(spec, inputs)),
+        lambda: fetch(P.hash_jit(spec, inputs)),
     )
 
     # -- crypto.rs: AES-GCM decrypt (host) --
@@ -92,20 +100,20 @@ def main():
     # -- ecc.rs: BLS12-381 G1 adds / scalar mul / batch normalization --
     curve = hostmath.BLS12_381_G1
     ops = C.curve_ops_for(curve)
-    n = 1 << 12
+    n = 1 << 12 if "--device" in sys.argv else 1 << 9
     pts_host = [curve.scalar_mul(k + 1, curve.generator) for k in range(64)] * (n // 64)
     pts = ops.encode_points(pts_host)
     add_j = jax.jit(ops.add)
     jax.block_until_ready(add_j(pts, pts))
     bench(
         f"g1 point add x{n} (device)",
-        lambda: jax.block_until_ready(add_j(pts, pts)),
+        lambda: fetch(add_j(pts, pts)),
     )
     dbl_j = jax.jit(ops.double)
     jax.block_until_ready(dbl_j(pts))
     bench(
         f"g1 point double x{n} (device)",
-        lambda: jax.block_until_ready(dbl_j(pts)),
+        lambda: fetch(dbl_j(pts)),
     )
     scalars = jnp.asarray(
         F.encode_ints(
@@ -114,17 +122,18 @@ def main():
             montgomery=False,
         )
     )
-    smul_j = jax.jit(ops.scalar_mul)
-    jax.block_until_ready(smul_j(scalars, pts))
-    bench(
-        f"g1 scalar mul x{n} (device)",
-        lambda: jax.block_until_ready(smul_j(scalars, pts)),
-    )
+    if "--device" in sys.argv:  # multi-minute compile on CPU; TPU only
+        smul_j = jax.jit(ops.scalar_mul)
+        fetch(smul_j(scalars, pts))
+        bench(
+            f"g1 scalar mul x{n} (device)",
+            lambda: fetch(smul_j(scalars, pts)),
+        )
     aff_j = jax.jit(ops.to_affine)
     jax.block_until_ready(aff_j(pts))
     bench(
         f"g1 batch normalization x{n} (device)",
-        lambda: jax.block_until_ready(aff_j(pts)),
+        lambda: fetch(aff_j(pts)),
     )
     bench(
         "g1 affine add (host)",
