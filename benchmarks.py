@@ -59,14 +59,13 @@ def bench(name, fn, reps=3, warmup=1):
 
 def main():
     rng = random.Random(7)
-    from manta_tpu import fields
     from manta_tpu.ops import curve as C
     from manta_tpu.ops import field_ops as F
     from manta_tpu.ops import poseidon as P
     from manta_tpu.protocol import config as CFG
     from manta_tpu.protocol import keys as K
     from manta_tpu.protocol import notes as N
-    from manta_tpu.utils import grain, hostmath
+    from manta_tpu.utils import hostmath
 
     print(f"backend: {jax.devices()[0].platform}", flush=True)
 

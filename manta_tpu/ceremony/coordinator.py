@@ -18,12 +18,10 @@ Mirrors the reference's ceremony framework
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import pickle
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
 from cryptography.hazmat.primitives.asymmetric.ed25519 import (

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
-from typing import List, Optional
 
 from manta_tpu.ceremony import ratio as R
 from manta_tpu.models import pairing as PR

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
-from typing import Optional, Tuple
 
 from manta_tpu.models import pairing as PR
 from manta_tpu.utils import codec, hostmath

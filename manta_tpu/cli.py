@@ -30,7 +30,6 @@ from manta_tpu.protocol import ledger as L
 from manta_tpu.protocol import notes as N
 from manta_tpu.protocol import rpc as RPC
 from manta_tpu.protocol import transfer as TX
-from manta_tpu.utils import codec, grain
 
 
 def cmd_generate_parameters(outdir: str, test_config: bool = False):

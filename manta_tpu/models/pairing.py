@@ -24,7 +24,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 
-from manta_tpu import fields
 from manta_tpu.utils import hostmath
 from manta_tpu.utils.hostmath import fq2_add, fq2_inv, fq2_mul, fq2_neg, fq2_sub
 

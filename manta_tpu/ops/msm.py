@@ -26,7 +26,6 @@ partial results (see `manta_tpu.parallel.msm_sharded`).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

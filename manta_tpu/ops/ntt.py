@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from manta_tpu import fields
 from manta_tpu.ops import field_ops as F
 from manta_tpu.fields import FieldSpec
 

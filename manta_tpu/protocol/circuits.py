@@ -25,7 +25,7 @@ Public input allocation order is fixed per shape and reproduced by the
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from manta_tpu.models import circuit as CC
 from manta_tpu.protocol import config as CFG

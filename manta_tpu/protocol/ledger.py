@@ -21,7 +21,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Set, Tuple
 
-from manta_tpu.protocol import circuits as TC
 from manta_tpu.protocol import config as CFG
 from manta_tpu.protocol import merkle as MK
 from manta_tpu.protocol import transfer as TX

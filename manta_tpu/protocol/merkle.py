@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 from manta_tpu.protocol import config as CFG
 from manta_tpu.protocol.utxo import shard_index

@@ -24,7 +24,6 @@ from typing import Optional
 from urllib.request import Request, urlopen
 
 from manta_tpu.models import groth16 as G
-from manta_tpu.protocol import config as CFG
 from manta_tpu.protocol import keys as K
 from manta_tpu.protocol import ledger as L
 from manta_tpu.protocol import notes as N

@@ -20,7 +20,6 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from manta_tpu.protocol import config as CFG
 from manta_tpu.protocol import ledger as L
 from manta_tpu.protocol import notes as N
 from manta_tpu.protocol import rpc as RPC

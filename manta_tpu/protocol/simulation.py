@@ -19,7 +19,6 @@ import sys
 from typing import Dict, List
 
 from manta_tpu.protocol import config as CFG
-from manta_tpu.protocol import keys as K
 from manta_tpu.protocol import ledger as L
 from manta_tpu.protocol import notes as N
 from manta_tpu.protocol import transfer as TX

@@ -14,7 +14,6 @@ shapes — the authorization key and its Schnorr signature over the body.
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 from typing import List, Optional
 
 from manta_tpu.models import circuit as CC

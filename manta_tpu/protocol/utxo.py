@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
-from typing import Optional, Tuple
+from typing import Tuple
 
 from manta_tpu.protocol import config as CFG
 from manta_tpu.protocol import keys as K

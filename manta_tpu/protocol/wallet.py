@@ -22,7 +22,7 @@ surface).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from manta_tpu.protocol import circuits as TC
 from manta_tpu.protocol import config as CFG

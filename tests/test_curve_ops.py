@@ -7,10 +7,8 @@ BLS12-381 G1/G2 and BN254 G1.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
-from manta_tpu import fields
 from manta_tpu.ops import curve as C
 from manta_tpu.ops import field_ops as F
 from manta_tpu.utils import hostmath

@@ -5,7 +5,6 @@ Mirrors the reference's field-backend tests
 vectors, edge values (0, 1, p-1), algebraic identities.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

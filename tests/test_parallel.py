@@ -2,7 +2,6 @@
 
 import jax
 import jax.numpy as jnp
-import pytest
 
 from manta_tpu.ops import curve as C
 from manta_tpu.ops import field_ops as F

@@ -1,7 +1,6 @@
 """RNS field core: encode/decode, mul/add/sub chains vs big-int ground truth."""
 
 import jax
-import numpy as np
 import pytest
 
 from manta_tpu import fields

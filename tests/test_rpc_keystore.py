@@ -1,6 +1,5 @@
 """RPC wire codecs + HTTP ledger service + keystore/persistence tests."""
 
-import random
 
 import pytest
 
