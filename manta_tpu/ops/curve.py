@@ -419,3 +419,90 @@ def curve_ops_for(
     if backend == "limb" and curve.name in _NAMED:
         return _NAMED[curve.name]
     return _ops_cache(curve, backend)
+
+
+@functools.lru_cache(maxsize=None)
+def _rns_annotated_cache(curve: hostmath.WeierstrassCurve) -> "RnsCurveOps":
+    return RnsCurveOps(curve, "rns")
+
+
+def rns_curve_ops_for(curve: hostmath.WeierstrassCurve) -> "RnsCurveOps":
+    """RNS backend with the bound-annotated (renorm-free) formulas."""
+    return _rns_annotated_cache(curve)
+
+
+@dataclasses.dataclass(frozen=True)
+class RnsCurveOps(CurveOps):
+    """Curve ops with bound-annotated RNS formulas: raw residue adds/subs
+    with per-call offsets instead of a renormalizing multiply per add/sub.
+
+    Bound audit (values as multiples of p; mul outputs < (k1+2)p ≈ 2^6):
+    every mul/sqr resets to 2^6; the longest raw chains stay ≤ 2^11.2, and
+    the RNS spec admits multiply inputs up to 2^12 (M1 > 2^25·p).
+    """
+
+    def double(self, pt: JacobianPoint) -> JacobianPoint:
+        o = self.ops
+        a = o.sqr(pt.x)                       # 2^6
+        b = o.sqr(pt.y)                       # 2^6
+        c = o.sqr(b)                          # 2^6
+        t = o.sqr(o.add_raw(pt.x, b))         # input ≤ 2^11; out 2^6
+        d = o.double_raw(o.sub_k(o.sub_k(t, a, 6), c, 6))   # ≤ 2^8.6
+        e = o.add_raw(o.add_raw(a, a), a)     # 3·2^6 ≤ 2^8
+        f = o.sqr(e)                          # 2^6
+        x3 = o.sub_k(f, o.double_raw(d), 10)  # ≤ 2^6 + 2^10
+        c8 = o.double_raw(o.double_raw(o.double_raw(c)))    # 2^9
+        y3 = o.sub_k(o.mul(e, o.sub_k(d, x3, 11)), c8, 9)   # ≤ 2^9.2
+        z3 = o.mul(o.double_raw(pt.y), pt.z)  # 2^6
+        return JacobianPoint(x3, y3, z3)
+
+    def add(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        o = self.ops
+        z1z1 = o.sqr(p.z)
+        z2z2 = o.sqr(q.z)
+        u1 = o.mul(p.x, z2z2)
+        u2 = o.mul(q.x, z1z1)
+        s1 = o.mul(o.mul(p.y, q.z), z2z2)
+        s2 = o.mul(o.mul(q.y, p.z), z1z1)
+        h = o.sub_k(u2, u1, 6)                # ≤ 2^7
+        rr = o.sub_k(s2, s1, 6)               # ≤ 2^7
+        h_zero = o.is_zero(h)
+        r_zero = o.is_zero(rr)
+        i = o.sqr(o.double_raw(h))            # 2^6
+        j = o.mul(h, i)                       # 2^6
+        r2 = o.double_raw(rr)                 # 2^8
+        v = o.mul(u1, i)                      # 2^6
+        x3 = o.sub_k(o.sub_k(o.sqr(r2), j, 6), o.double_raw(v), 7)  # ≤ 2^8.3
+        y3 = o.sub_k(
+            o.mul(r2, o.sub_k(v, x3, 9)),     # inner ≤ 2^9.3; out 2^6
+            o.double_raw(o.mul(s1, j)),       # 2^7
+            7,
+        )                                     # ≤ 2^7.3
+        z3 = o.mul(o.mul(o.double_raw(p.z), q.z), h)  # inputs ≤ 2^7 ✓
+        generic = JacobianPoint(x3, y3, z3)
+        dbl = self.double(p)
+        p_inf = self.is_infinity(p)
+        q_inf = self.is_infinity(q)
+        is_dbl = jnp.logical_and(
+            jnp.logical_and(h_zero, r_zero),
+            jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
+        )
+        is_inf_result = jnp.logical_and(
+            jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+            jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
+        )
+        inf = self.infinity_like(p)
+
+        def pick(gen, dbl_c, inf_c, p_c, q_c):
+            out = gen
+            out = o.select(is_dbl, dbl_c, out)
+            out = o.select(is_inf_result, inf_c, out)
+            out = o.select(q_inf, p_c, out)
+            out = o.select(p_inf, q_c, out)
+            return out
+
+        return JacobianPoint(
+            pick(generic.x, dbl.x, inf.x, p.x, q.x),
+            pick(generic.y, dbl.y, inf.y, p.y, q.y),
+            pick(generic.z, dbl.z, inf.z, p.z, q.z),
+        )

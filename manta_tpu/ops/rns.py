@@ -41,7 +41,7 @@ import numpy as np
 from manta_tpu import fields
 
 #: integer-value slack budget: values may grow to C_MAX * p between muls
-C_MAX = 1 << 9
+C_MAX = 1 << 12
 
 
 def _primes_below(bits: int, count: int, skip=()):
@@ -118,7 +118,7 @@ class RnsSpec:
         c["M2_mod_1"] = arr([M2 % m for m in b1])
         # sub offsets: residues of 2^k * p for k in 5..9 (added to keep
         # differences nonnegative; the caller picks k >= log2(bound(b)/p))
-        for k in range(5, 10):
+        for k in range(5, 14):
             c[f"off{k}_1"] = arr([((1 << k) * p) % m for m in b1])
             c[f"off{k}_2"] = arr([((1 << k) * p) % m for m in b2])
             c[f"off{k}_r"] = np.int32(((1 << k) * p) % m_r)
@@ -127,7 +127,7 @@ class RnsSpec:
 
 def _check_spec(spec: RnsSpec):
     p = spec.field.modulus
-    assert spec.M1 > (1 << 17) * p, "M1 too small for the lazy bounds"
+    assert spec.M1 > (1 << 25) * p, "M1 too small for the lazy bounds"
     assert spec.M2 > 4 * (spec.k1 + 2) * C_MAX * p, "M2 too small"
     assert spec.m_r > spec.k2 + 2, "redundant modulus must exceed k2"
     mods = list(spec.b1) + list(spec.b2) + [spec.m_r]
@@ -458,8 +458,23 @@ class RnsCoordOps:
     def triple(self, a):
         return self.add(self.add(a, a), a)
 
+    def add_raw(self, a, b):
+        """Residue add without renormalization (integer bound = sum of
+        operand bounds; caller tracks the ≤ C_MAX·p budget)."""
+        return self._p(add(self.spec, self._u(a), self._u(b)))
+
+    def sub_k(self, a, b, k: int):
+        """Raw subtraction with a 2^k·p offset (requires bound(b) ≤ 2^k·p);
+        result bound = bound(a) + 2^k·p."""
+        return self._p(sub(self.spec, self._u(a), self._u(b), k))
+
+    def double_raw(self, a):
+        return self.add_raw(a, a)
+
     def is_zero(self, a):
-        """value ≡ 0 mod p ⇔ residues match one of the k·p zero classes."""
+        """value ≡ 0 mod p ⇔ residues match one of the k·p zero classes.
+        Renormalizes first so ANY in-budget bound collapses to < (k1+2)p."""
+        a = self._p(_renorm(self.spec, self._u(a)))
         table = jnp.asarray(_zero_class_table(self.spec))
         nd = a.ndim - 1
 

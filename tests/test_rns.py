@@ -136,3 +136,38 @@ class TestRnsCurveBackend:
         sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
         result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
         assert ops.decode_points(result) == [expected]
+
+
+class TestRnsAnnotatedCurve:
+    """Bound-annotated (renorm-free) RNS formulas vs host ground truth."""
+
+    def test_annotated_curve_and_msm(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from manta_tpu.ops import curve as C
+        from manta_tpu.ops import field_ops as F
+        from manta_tpu.ops import msm as M
+        from manta_tpu.utils import hostmath
+
+        curve = hostmath.BN254_G1
+        ops = C.rns_curve_ops_for(curve)
+        g = curve.generator
+        pts = [curve.scalar_mul(k + 3, g) for k in range(4)] + [None]
+        a_pts = [pts[0], pts[0], pts[0], None, pts[1]]
+        b_pts = [pts[1], pts[0], curve.neg(pts[0]), pts[2], None]
+        expected = [curve.add(a, b) for a, b in zip(a_pts, b_pts)]
+        out = jax.jit(ops.add)(ops.encode_points(a_pts), ops.encode_points(b_pts))
+        assert ops.decode_points(out) == expected
+        dev = ops.encode_points(pts)
+        dbl = jax.jit(ops.double)(dev)
+        assert ops.decode_points(dbl) == [curve.double(p) for p in pts]
+        # chained doubles (bound stability over iterations)
+        d4 = ops.double(ops.double(ops.double(dbl)))
+        assert ops.decode_points(d4)[0] == curve.scalar_mul(16, pts[0])
+        # full MSM
+        n = 8
+        points = [curve.scalar_mul(k + 1, g) for k in range(n)]
+        scalars = [rng.randrange(curve.scalar_field.modulus) for _ in range(n - 2)] + [0, 1]
+        sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
+        assert ops.decode_points(result) == [curve.msm(scalars, points)]
