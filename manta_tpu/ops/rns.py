@@ -435,19 +435,18 @@ class RnsCoordOps:
         )
 
     def add(self, a, b):
-        return self._p(_renorm(self.spec, add(self.spec, self._u(a), self._u(b))))
+        return packed_renorm(self.spec, packed_add(self.spec, a, b))
 
     def sub(self, a, b):
-        return self._p(
-            _renorm(self.spec, sub(self.spec, self._u(a), self._u(b), 6))
-        )
+        return packed_renorm(self.spec, packed_sub_k(self.spec, a, b, 6))
 
     def neg(self, a):
-        zero = tuple(jnp.zeros_like(x) for x in self._u(a))
-        return self._p(_renorm(self.spec, sub(self.spec, zero, self._u(a), 6)))
+        return packed_renorm(
+            self.spec, packed_sub_k(self.spec, jnp.zeros_like(a), a, 6)
+        )
 
     def mul(self, a, b):
-        return self._p(mul(self.spec, self._u(a), self._u(b)))
+        return packed_mul(self.spec, a, b)
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -461,12 +460,12 @@ class RnsCoordOps:
     def add_raw(self, a, b):
         """Residue add without renormalization (integer bound = sum of
         operand bounds; caller tracks the ≤ C_MAX·p budget)."""
-        return self._p(add(self.spec, self._u(a), self._u(b)))
+        return packed_add(self.spec, a, b)
 
     def sub_k(self, a, b, k: int):
         """Raw subtraction with a 2^k·p offset (requires bound(b) ≤ 2^k·p);
         result bound = bound(a) + 2^k·p."""
-        return self._p(sub(self.spec, self._u(a), self._u(b), k))
+        return packed_sub_k(self.spec, a, b, k)
 
     def double_raw(self, a):
         return self.add_raw(a, a)
@@ -474,7 +473,7 @@ class RnsCoordOps:
     def is_zero(self, a):
         """value ≡ 0 mod p ⇔ residues match one of the k·p zero classes.
         Renormalizes first so ANY in-budget bound collapses to < (k1+2)p."""
-        a = self._p(_renorm(self.spec, self._u(a)))
+        a = packed_renorm(self.spec, a)
         table = jnp.asarray(_zero_class_table(self.spec))
         nd = a.ndim - 1
 
@@ -545,3 +544,109 @@ class RnsCoordOps:
             flat[self.spec.k1 + self.spec.k2],
         )
         return decode_ints(self.spec, rep)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout ops: everything on the single (K, ...) array — no per-op
+# unpack/repack concatenation traffic (the naive tuple wrappers cost more
+# HBM bandwidth than the arithmetic itself at MSM scale).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_consts(spec: RnsSpec) -> dict:
+    c = spec.consts
+    mods = np.concatenate(
+        [np.asarray(spec.b1), np.asarray(spec.b2), [spec.m_r]]
+    ).astype(np.int32)
+    out = {
+        "m_all": mods,
+        "inv_all": (1.0 / mods).astype(np.float32),
+    }
+    p = spec.field.modulus
+    for k in range(5, 14):
+        out[f"off{k}"] = np.asarray(
+            [((1 << k) * p) % m for m in mods.tolist()], dtype=np.int32
+        )
+    one = _one_rep_cached(spec)
+    out["one"] = np.concatenate(
+        [one[0], one[1], np.asarray([one[2]])]
+    ).astype(np.int32)
+    return out
+
+
+def _bc(v: np.ndarray, nd: int):
+    a = jnp.asarray(v)
+    return a.reshape(a.shape + (1,) * nd)
+
+
+def packed_add(spec: RnsSpec, a, b):
+    pc = _packed_consts(spec)
+    m = _bc(pc["m_all"], a.ndim - 1)
+    s = a + b
+    return jnp.where(s >= m, s - m, s)
+
+
+def packed_sub_k(spec: RnsSpec, a, b, k: int):
+    pc = _packed_consts(spec)
+    nd = a.ndim - 1
+    return _mod_small(
+        a - b + _bc(pc[f"off{k}"], nd), _bc(pc["m_all"], nd), _bc(pc["inv_all"], nd)
+    )
+
+
+def packed_mul(spec: RnsSpec, a, b):
+    """RNS Montgomery product directly on packed (K, ...) arrays."""
+    pc = _packed_consts(spec)
+    c = spec.consts
+    nd = a.ndim - 1
+    m_all = _bc(pc["m_all"], nd)
+    inv_all = _bc(pc["inv_all"], nd)
+    k1, k2 = spec.k1, spec.k2
+
+    t_all = _modmul(a, b, m_all, inv_all)  # one fused pass over all channels
+    t1 = t_all[:k1]
+    t2 = t_all[k1 : k1 + k2]
+    tr = t_all[k1 + k2]
+
+    m1 = _cols(c, "m1", nd)
+    if1 = _cols(c, "inv_f1", nd)
+    m2 = _cols(c, "m2", nd)
+    if2 = _cols(c, "inv_f2", nd)
+    m_r = jnp.int32(spec.m_r)
+    ifr = jnp.float32(c["inv_fr"])
+
+    m_res = _modmul(t1, _cols(c, "neg_p_inv_1", nd), m1, if1)
+    sigma = _modmul(m_res, _cols(c, "w1", nd), m1, if1)
+    flat = sigma.reshape(k1, -1)
+    S = _const_matmul(c["A1"], flat).reshape((k2 + 1,) + sigma.shape[1:])
+    mhat2 = _mod_big(S[:k2], m2, if2)
+    mhat_r = _mod_big(S[k2], m_r, ifr)
+
+    u2 = t2 + _modmul(mhat2, _cols(c, "p_2", nd), m2, if2)
+    u2 = jnp.where(u2 >= m2, u2 - m2, u2)
+    out2 = _modmul(u2, _cols(c, "M1_inv_2", nd), m2, if2)
+    ur = tr + _modmul(mhat_r, jnp.int32(c["p_r"]), m_r, ifr)
+    ur = jnp.where(ur >= m_r, ur - m_r, ur)
+    out_r = _modmul(ur, jnp.int32(c["M1_inv_r"]), m_r, ifr)
+
+    sigma2 = _modmul(out2, _cols(c, "w2", nd), m2, if2)
+    flat2 = sigma2.reshape(k2, -1)
+    S2 = _const_matmul(c["A2"], flat2).reshape((k1,) + sigma2.shape[1:])
+    S2r = _const_matmul(
+        np.asarray(c["A2r"]).reshape(1, k2), flat2
+    ).reshape(sigma2.shape[1:])
+    s2r_mod = _mod_big(S2r, m_r, ifr)
+    diff = s2r_mod - out_r
+    diff = jnp.where(diff < 0, diff + m_r, diff)
+    alpha = _modmul(diff, jnp.int32(c["M2_inv_r"]), m_r, ifr)
+    corr = _modmul(alpha, _cols(c, "M2_mod_1", nd), m1, if1)
+    out1 = _mod_big(S2, m1, if1) - corr
+    out1 = jnp.where(out1 < 0, out1 + m1, out1)
+    return jnp.concatenate([out1, out2, out_r[None]], axis=0)
+
+
+def packed_renorm(spec: RnsSpec, a):
+    pc = _packed_consts(spec)
+    one = _bc(pc["one"], a.ndim - 1)
+    return packed_mul(spec, a, jnp.broadcast_to(one, a.shape).astype(jnp.int32))
