@@ -430,3 +430,102 @@ def load_signer_state(signer: Signer, path: str, password: bytes) -> bool:
         for leaf in leaves:
             tree.insert(int(leaf, 16))
     return True
+
+
+# ---------------------------------------------------------------------------
+# Identity proofs + transaction data (reference `functions.rs:1331,1383`,
+# `signer/base.rs:227` identity_verification)
+# ---------------------------------------------------------------------------
+
+
+def identity_proof(
+    signer: Signer, asset: N.Asset, identifier_randomness: int, nonce: int = 13
+) -> TX.TransferPost:
+    """Prove control of the signer's address: spend a *virtual* coin
+    (reconstructible by the verifier from public data) in a ToPublic whose
+    accumulator is a fresh forest containing only that coin. The in-circuit
+    commitment check pins the coin's receiving key to the address, so only
+    the address's spending key can satisfy the proof."""
+    cfg = signer.cfg
+    pt = N.IncomingPlaintext(
+        utxo_commitment_randomness=identifier_randomness, asset=asset
+    )
+    secret = U.SpendSecret(outgoing_ephemeral_secret_key=1, plaintext=pt)
+    utxo = secret.utxo(cfg, signer.address)
+    item = U.item_hash(cfg, utxo)
+    virtual_forest = MK.MerkleForest(cfg)
+    proof = virtual_forest.insert_item(item)
+    sender = TC.SenderBundle(
+        secret=secret,
+        utxo=utxo,
+        nullifier=secret.nullifier(cfg, signer.context, utxo),
+        proof=proof,
+        root=virtual_forest.root(proof.shard),
+    )
+    zero = signer._zero_sender(asset.id)
+    # the zero sender's escape-hatch root must also come from the virtual
+    # accumulator context; any root works since its membership is skipped
+    change = signer._receiver(signer.address, N.Asset(asset.id, 0))
+    auth = K.Authorization.from_spending_key(cfg, signer.sk, signer._small())
+    return TX.build_to_public(
+        cfg,
+        signer.shape_keys["to_public"],
+        signer.sk,
+        auth,
+        [sender, zero],
+        change,
+        asset_id=asset.id,
+        sink_value=asset.value,
+        nonce=nonce,
+        backend=signer.backend,
+    )
+
+
+def identity_verification(
+    cfg: CFG.MantaPayConfig,
+    shape_keys,
+    post: TX.TransferPost,
+    asset: N.Asset,
+    identifier_randomness: int,
+    address,
+) -> bool:
+    """Verify an identity proof against the claimed (asset, identifier,
+    address): reconstruct the virtual coin and its accumulator root, check
+    the post's sender root matches, then verify proof + signature."""
+    if asset.is_empty() or asset.id == 0:
+        return False
+    commitment = U.utxo_commitment(
+        cfg, identifier_randomness, asset, address
+    )
+    utxo = U.Utxo(
+        is_transparent=False, public_asset=N.Asset(0, 0), commitment=commitment
+    )
+    item = U.item_hash(cfg, utxo)
+    virtual_forest = MK.MerkleForest(cfg)
+    proof = virtual_forest.insert_item(item)
+    expected_root = virtual_forest.root(proof.shard)
+    if not post.sender_posts or post.sender_posts[0]["root"] != expected_root:
+        return False
+    if post.shape != "to_public" or post.sink_values != [asset.value]:
+        return False
+    return TX.verify_post(cfg, shape_keys["to_public"], post)
+
+
+def transaction_data(signer: Signer, post: TX.TransferPost):
+    """Decrypt the receiver notes of `post` that belong to this signer
+    (reference `functions.rs:1383`). Returns (plaintext, utxo) pairs."""
+    out = []
+    for r in post.receiver_posts:
+        bundle = r["bundle"]
+        pt = N.decrypt_incoming(signer.cfg, signer.viewing_key, bundle.note)
+        if pt is None:
+            continue
+        expected = U.utxo_commitment(
+            signer.cfg,
+            pt.utxo_commitment_randomness,
+            pt.asset,
+            signer.address,
+        )
+        if expected == bundle.utxo.commitment:
+            out.append((pt, bundle.utxo))
+    return out

@@ -103,3 +103,36 @@ def test_signer_state_persistence(shape_keys, tmp_path):
     w2.to_public(N.Asset(8, 40))
     assert ledger.balance("heidi", 8) == 150
     assert not W.load_signer_state(fresh, path, b"wrong")
+
+
+def test_identity_proof_and_transaction_data(shape_keys):
+    """Address-ownership attestation + note introspection
+    (reference identity_proof functions.rs:1331, base.rs:227)."""
+    cfg = CFG_T
+    signer = W.Signer(cfg, shape_keys, 31337, random.Random(11))
+    asset = N.Asset(id=2, value=55)
+    ident = 987654321
+    proof_post = W.identity_proof(signer, asset, ident)
+    assert W.identity_verification(
+        cfg, shape_keys, proof_post, asset, ident, signer.address
+    )
+    # wrong address fails
+    other = W.Signer(cfg, shape_keys, 99999, random.Random(12))
+    assert not W.identity_verification(
+        cfg, shape_keys, proof_post, asset, ident, other.address
+    )
+    # wrong identifier fails
+    assert not W.identity_verification(
+        cfg, shape_keys, proof_post, asset, ident + 1, signer.address
+    )
+
+    # transaction_data: a ToPrivate to the signer is decryptable by it
+    ledger = L.Ledger(cfg, shape_keys)
+    ledger.deposit("ivan", 2, 100)
+    post = TX.build_to_private(
+        cfg, shape_keys["to_private"], signer.address, N.Asset(2, 60),
+        esk=1234567, randomness=42,
+    )
+    data = W.transaction_data(signer, post)
+    assert len(data) == 1 and data[0][0].asset == N.Asset(2, 60)
+    assert W.transaction_data(other, post) == []
