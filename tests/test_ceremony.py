@@ -111,3 +111,60 @@ def test_ceremony_keys_prove_and_verify(ceremony_keys, rng):
     )
     assert G.verify(ceremony_keys["vk"], proof, [z])
     assert not G.verify(ceremony_keys["vk"], proof, [(z + 1) % fr.modulus])
+
+
+class TestPpotFormat:
+    """Bellman-format (de)serialization roundtrips incl. flag edge cases."""
+
+    def test_g1_roundtrips(self, rng):
+        from manta_tpu.ceremony import ppot as PP
+
+        g = CFG.g1.generator
+        for k in (1, 5, rng.randrange(CFG.g1.scalar_field.modulus)):
+            pt = CFG.g1.scalar_mul(k, g)
+            assert PP.deserialize_g1_uncompressed(PP.serialize_g1_uncompressed(pt)) == pt
+            assert PP.deserialize_g1_compressed(PP.serialize_g1_compressed(pt)) == pt
+        assert PP.deserialize_g1_uncompressed(PP.serialize_g1_uncompressed(None)) is None
+        assert PP.deserialize_g1_compressed(PP.serialize_g1_compressed(None)) is None
+        with pytest.raises(PP.PpotFormatError):
+            bad = bytearray(PP.serialize_g1_uncompressed(None))
+            bad[10] = 1  # infinity flag with nonzero tail
+            PP.deserialize_g1_uncompressed(bytes(bad))
+
+    def test_g2_roundtrips(self, rng):
+        from manta_tpu.ceremony import ppot as PP
+
+        g = CFG.g2.generator
+        for k in (1, 7, rng.randrange(CFG.g2.scalar_field.modulus)):
+            pt = CFG.g2.scalar_mul(k, g)
+            assert PP.deserialize_g2_uncompressed(PP.serialize_g2_uncompressed(pt)) == pt
+            assert PP.deserialize_g2_compressed(PP.serialize_g2_compressed(pt)) == pt
+        assert PP.deserialize_g2_uncompressed(PP.serialize_g2_uncompressed(None)) is None
+
+    def test_challenge_roundtrip_and_phase2_seed(self):
+        """Write/read a contributed accumulator in the PPoT challenge layout
+        and seed phase 2 from the parsed result."""
+        import copy
+
+        from manta_tpu.ceremony import ppot as PP
+
+        acc = KZG.Accumulator.default(CFG, 4)
+        KZG.contribute(acc, 5, 7, 11, nonce=9)
+        blob = PP.write_challenge(acc, prev_hash=b"prev")
+        parsed, header, file_hash = PP.read_challenge(blob, 4)
+        assert header[:4] == b"prev"
+        assert parsed.tau_powers_g1 == acc.tau_powers_g1
+        assert parsed.tau_powers_g2 == acc.tau_powers_g2
+        assert parsed.beta_g2 == acc.beta_g2
+        assert len(file_hash) == 64
+        # seed phase 2 from the imported accumulator
+        from manta_tpu import fields
+        from manta_tpu.models import circuit as CC
+
+        com = CC.R1CS(fields.BN254_FR, mode="setup")
+        x = com.secret_witness(None)
+        z = com.public_input(None)
+        com.assert_eq(com.mul(x, x), z)
+        matrices, _ = com.finalize()
+        state = P2.initialize(parsed, matrices)
+        assert state.domain_size <= 4
