@@ -10,7 +10,7 @@ single-core arkworks Pippenger throughput of 0.55 Mpoints/s (ark-ec 0.3,
 publishes no numbers, see BASELINE.md).
 
 Env overrides: MANTA_BENCH_N (log2 point count, default tries 20 then
-smaller), MANTA_BENCH_REPS (default 3), MANTA_BENCH_WINDOW (default 16).
+smaller), MANTA_BENCH_REPS (default 3), MANTA_BENCH_WINDOW (default 13).
 """
 
 from __future__ import annotations
@@ -67,7 +67,12 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     from manta_tpu.utils import hostmath
 
     curve = hostmath.BLS12_381_G1
-    cops = C.curve_ops_for(curve)
+    backend = os.environ.get("MANTA_BENCH_BACKEND", "limb")
+    if backend == "rns_annotated":
+        cops = C.rns_curve_ops_for(curve)
+    else:
+        cops = C.curve_ops_for(curve, backend)
+    log(f"[bench] curve backend: {backend}")
     n = 1 << log2n
 
     log(f"[bench] devices: {jax.devices()}")
@@ -106,7 +111,7 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
 
 def main():
     reps = int(os.environ.get("MANTA_BENCH_REPS", "3"))
-    window = int(os.environ.get("MANTA_BENCH_WINDOW", "16"))
+    window = int(os.environ.get("MANTA_BENCH_WINDOW", "13"))
     sizes = (
         [int(os.environ.get("MANTA_BENCH_N"))]
         if os.environ.get("MANTA_BENCH_N")

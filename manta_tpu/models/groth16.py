@@ -294,7 +294,7 @@ def _msm_device(curve, scalars, points):
     points = [curve.generator if p is None else p for p in points]
     sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
     pts = cops.encode_points(points)
-    return cops.decode_points(M.msm_jit(cops, sc, pts, 16))[0]
+    return cops.decode_points(M.msm_jit(cops, sc, pts))[0]
 
 
 def prove(

@@ -258,6 +258,52 @@ class CurveOps:
         z3 = o.mul(o.double(pt.y), pt.z)
         return JacobianPoint(x3, y3, z3)
 
+    def _add_dispatch(
+        self,
+        p: JacobianPoint,
+        q: JacobianPoint,
+        generic: JacobianPoint,
+        h_zero,
+        r_zero,
+    ) -> JacobianPoint:
+        """Branchless edge-case dispatch shared by add/madd:
+        p_inf -> q; q_inf -> p; h==0 & r==0 -> double(p); h==0 & r!=0 ->
+        infinity; else the generic-add result. The doubling result is
+        computed under a `lax.cond` so batches with no coincident lanes
+        (the common case in sorted-bucket MSM accumulation) skip its
+        ~8-multiply cost entirely."""
+        o = self.ops
+        p_inf = self.is_infinity(p)
+        q_inf = self.is_infinity(q)
+        either_inf = jnp.logical_or(p_inf, q_inf)
+        is_dbl = jnp.logical_and(
+            jnp.logical_and(h_zero, r_zero), jnp.logical_not(either_inf)
+        )
+        is_inf_result = jnp.logical_and(
+            jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
+            jnp.logical_not(either_inf),
+        )
+        dblx, dbly, dblz = jax.lax.cond(
+            jnp.any(is_dbl),
+            lambda: tuple(self.double(p)),
+            lambda: (p.x, p.y, p.z),
+        )
+        inf = self.infinity_like(p)
+
+        def pick(gen, dbl_c, inf_c, p_c, q_c):
+            out = gen
+            out = o.select(is_dbl, dbl_c, out)
+            out = o.select(is_inf_result, inf_c, out)
+            out = o.select(q_inf, p_c, out)
+            out = o.select(p_inf, q_c, out)
+            return out
+
+        return JacobianPoint(
+            pick(generic.x, dblx, inf.x, p.x, q.x),
+            pick(generic.y, dbly, inf.y, p.y, q.y),
+            pick(generic.z, dblz, inf.z, p.z, q.z),
+        )
+
     def add(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
         """Complete Jacobian addition (add-2007-bl + branchless edge cases)."""
         o = self.ops
@@ -279,34 +325,34 @@ class CurveOps:
         y3 = o.sub(o.mul(r2, o.sub(v, x3)), o.double(o.mul(s1, j)))
         z3 = o.mul(o.mul(o.double(p.z), q.z), h)
         generic = JacobianPoint(x3, y3, z3)
-        dbl = self.double(p)
-        p_inf = self.is_infinity(p)
-        q_inf = self.is_infinity(q)
-        # dispatch: p_inf -> q; q_inf -> p; h==0 & r==0 -> double;
-        # h==0 & r!=0 -> infinity; else generic
-        is_dbl = jnp.logical_and(
-            jnp.logical_and(h_zero, r_zero),
-            jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
-        )
-        is_inf_result = jnp.logical_and(
-            jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
-            jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
-        )
-        inf = self.infinity_like(p)
+        return self._add_dispatch(p, q, generic, h_zero, r_zero)
 
-        def pick(gen, dbl_c, inf_c, p_c, q_c):
-            out = gen
-            out = o.select(is_dbl, dbl_c, out)
-            out = o.select(is_inf_result, inf_c, out)
-            out = o.select(q_inf, p_c, out)
-            out = o.select(p_inf, q_c, out)
-            return out
+    def madd(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        """Mixed addition: p (Jacobian) + q (affine, Z in {0,1}; Z=0 with
+        (0, 1, 0) encodes infinity).
 
-        return JacobianPoint(
-            pick(generic.x, dbl.x, inf.x, p.x, q.x),
-            pick(generic.y, dbl.y, inf.y, p.y, q.y),
-            pick(generic.z, dbl.z, inf.z, p.z, q.z),
-        )
+        madd-2007-bl: 7M+4S vs 12M+4S for the generic add — the workhorse
+        of MSM bucket accumulation, where the incoming stream of sorted
+        points is affine. All edge cases (either operand infinite, p == q,
+        p == -q) are still handled, so this is a *complete* mixed add."""
+        o = self.ops
+        z1z1 = o.sqr(p.z)
+        u2 = o.mul(q.x, z1z1)
+        s2 = o.mul(o.mul(q.y, p.z), z1z1)
+        h = o.sub(u2, p.x)
+        rhalf = o.sub(s2, p.y)
+        h_zero = o.is_zero(h)
+        r_zero = o.is_zero(rhalf)
+        hh = o.sqr(h)
+        i4 = o.double(o.double(hh))
+        j = o.mul(h, i4)
+        r = o.double(rhalf)
+        v = o.mul(p.x, i4)
+        x3 = o.sub(o.sub(o.sqr(r), j), o.double(v))
+        y3 = o.sub(o.mul(r, o.sub(v, x3)), o.double(o.mul(p.y, j)))
+        z3 = o.sub(o.sub(o.sqr(o.add(p.z, h)), z1z1), hh)
+        generic = JacobianPoint(x3, y3, z3)
+        return self._add_dispatch(p, q, generic, h_zero, r_zero)
 
     def neg(self, pt: JacobianPoint) -> JacobianPoint:
         return JacobianPoint(pt.x, self.ops.neg(pt.y), pt.z)
@@ -480,29 +526,38 @@ class RnsCurveOps(CurveOps):
         )                                     # ≤ 2^7.3
         z3 = o.mul(o.mul(o.double_raw(p.z), q.z), h)  # inputs ≤ 2^7 ✓
         generic = JacobianPoint(x3, y3, z3)
-        dbl = self.double(p)
-        p_inf = self.is_infinity(p)
-        q_inf = self.is_infinity(q)
-        is_dbl = jnp.logical_and(
-            jnp.logical_and(h_zero, r_zero),
-            jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
-        )
-        is_inf_result = jnp.logical_and(
-            jnp.logical_and(h_zero, jnp.logical_not(r_zero)),
-            jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
-        )
-        inf = self.infinity_like(p)
+        return self._add_dispatch(p, q, generic, h_zero, r_zero)
 
-        def pick(gen, dbl_c, inf_c, p_c, q_c):
-            out = gen
-            out = o.select(is_dbl, dbl_c, out)
-            out = o.select(is_inf_result, inf_c, out)
-            out = o.select(q_inf, p_c, out)
-            out = o.select(p_inf, q_c, out)
-            return out
+    def madd(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        """Bound-annotated RNS mixed add (madd-2007-bl).
 
-        return JacobianPoint(
-            pick(generic.x, dbl.x, inf.x, p.x, q.x),
-            pick(generic.y, dbl.y, inf.y, p.y, q.y),
-            pick(generic.z, dbl.z, inf.z, p.z, q.z),
-        )
+        Accumulator (p) bound invariants under MSM usage — every coordinate
+        is either a fresh affine/normalized value, a madd output
+        (x ≤ 2^8.1, y ≤ 2^7.7, z ≤ 2^7.6), or a double output
+        (x ≤ 2^10.1, y ≤ 2^9.2, z ≤ 2^6); the sub_k offsets below cover the
+        maxima (x ≤ 2^11, y ≤ 2^10, z ≤ 2^8), and every multiply input
+        stays ≤ 2^12 as the RNS spec requires. q is normalized (< p)."""
+        o = self.ops
+        z1z1 = o.sqr(p.z)                     # 2^6
+        u2 = o.mul(q.x, z1z1)                 # 2^6
+        s2 = o.mul(o.mul(q.y, p.z), z1z1)     # 2^6
+        h = o.sub_k(u2, p.x, 11)              # ≤ 2^6 + 2^11
+        rhalf = o.sub_k(s2, p.y, 10)          # ≤ 2^6 + 2^10
+        h_zero = o.is_zero(h)
+        r_zero = o.is_zero(rhalf)
+        hh = o.sqr(h)                         # 2^6
+        i4 = o.double_raw(o.double_raw(hh))   # 2^8
+        j = o.mul(h, i4)                      # 2^6
+        r = o.double_raw(rhalf)               # ≤ 2^11.1
+        v = o.mul(p.x, i4)                    # 2^6
+        x3 = o.sub_k(o.sub_k(o.sqr(r), j, 6), o.double_raw(v), 7)  # ≤ 2^8.1
+        y3 = o.sub_k(
+            o.mul(r, o.sub_k(v, x3, 9)),      # inner ≤ 2^9.2; out 2^6
+            o.double_raw(o.mul(p.y, j)),      # 2^7
+            7,
+        )                                     # ≤ 2^7.7
+        z3 = o.sub_k(
+            o.sub_k(o.sqr(o.add_raw(p.z, h)), z1z1, 6), hh, 6
+        )                                     # ≤ 2^7.6
+        generic = JacobianPoint(x3, y3, z3)
+        return self._add_dispatch(p, q, generic, h_zero, r_zero)

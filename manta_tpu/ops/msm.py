@@ -4,20 +4,26 @@ TPU-first design (replaces `ark_ec::msm` used by the reference's Groth16
 prover, see SURVEY.md §2.9#3): everything is lane-parallel vector work with
 no data-dependent control flow —
 
-1. **Windows**: c-bit windows (c divides 16; default 16 so window digits are
-   exactly the base-2^16 scalar limbs the framework already uses).
-2. **Bucket accumulation** per window: sort point indices by digit
-   (`jnp.argsort`), then a *segmented inclusive scan* over the sorted points
-   with the classic head-flag monoid — `(v1,h1) ⊕ (v2,h2) =
-   (h2 ? v2 : v1+v2, h1|h2)` — where ⊕ on values is the complete Jacobian
-   add. Segment ends hold the bucket sums; they are scattered into the
-   bucket array at unique indices (empty buckets stay at infinity).
-3. **Bucket reduction**: sum_b b·S_b via a reverse (suffix) scan over the
-   bucket axis followed by a lane-parallel tree reduction — no 2^c-step
-   sequential running sum.
+1. **Windows**: c-bit windows (any c <= 16; default 13 balances the n
+   mixed-adds of bucket accumulation against the 2·2^(c/2)-scale bucket
+   reduction).
+2. **Bucket accumulation** per window — *sequential-column segmented
+   reduce*: sort point indices by digit (`jnp.argsort`); lane j owns the
+   contiguous sorted chunk [jK, (j+1)K); a K-step `fori_loop` runs one
+   R-lane **mixed add** (`CurveOps.madd`, the stream of sorted points stays
+   affine) per step, restarting the accumulator at digit boundaries and
+   scattering each completed run into its bucket at a unique index. Buckets
+   spanning several chunks leave per-chunk trailing partials — an R-sized
+   problem folded with one segmented scan and a second unique scatter.
+   Cost: n mixed adds + O(R) — vs the ~8n *full* adds of a block-scan
+   formulation, and ~n·log n for flat Hillis-Steele.
+3. **Bucket reduction**: sum_b b·S_b via the split-index identity
+   b = 2^c2·h + l  =>  2^c2·sum_h h·R_h + sum_l l·C_l with
+   R_h/C_l row/column sums of the (2^c1, 2^c2) bucket matrix — two
+   pairwise tree reductions (~2·2^c adds) plus two tiny weighted sums
+   (suffix scans over 2^c1 and 2^c2 lanes), instead of a 2^c-lane scan.
 4. **Window combine**: Horner over windows (c doublings per window), inside
-   a fori_loop so the compiled graph holds ONE copy of the add formula per
-   scan level rather than one per window.
+   a fori_loop so the compiled graph holds ONE copy of the window pipeline.
 
 The N-point workload is embarrassingly parallel across chips: shard points
 and scalars along N, run this kernel per shard, tree-add the per-device
@@ -35,58 +41,49 @@ from manta_tpu.ops import curve as C
 from manta_tpu.ops.curve import JacobianPoint
 from manta_tpu.ops import scan as S
 
+DEFAULT_WINDOW_BITS = 13
+DEFAULT_COLUMN_STEPS = 128
+
 
 def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
-    """(S_L, N) 16-bit limbs -> (W, N) c-bit window digits, little-endian."""
-    assert fields.LIMB_BITS % window_bits == 0
-    per_limb = fields.LIMB_BITS // window_bits
+    """(S_L, N) 16-bit limbs -> (W, N) c-bit window digits, little-endian.
+
+    Window w covers scalar bits [w*c, (w+1)*c); c need not divide the limb
+    width (digits straddling a limb boundary combine two limbs)."""
+    assert 1 <= window_bits <= fields.LIMB_BITS
+    num_limbs = scalars.shape[0]
+    total_bits = num_limbs * fields.LIMB_BITS
+    num_windows = -(-total_bits // window_bits)
     mask = jnp.uint32((1 << window_bits) - 1)
-    parts = [
-        (scalars >> jnp.uint32(k * window_bits)) & mask for k in range(per_limb)
-    ]
-    # stack -> (per_limb, S_L, N); window w = limb * per_limb + k
-    stacked = jnp.stack(parts, axis=1)  # (S_L, per_limb, N)
-    return stacked.reshape(-1, scalars.shape[-1])
+    rows = []
+    for w in range(num_windows):
+        start = w * window_bits
+        i, sh = divmod(start, fields.LIMB_BITS)
+        d = scalars[i] >> jnp.uint32(sh)
+        if sh + window_bits > fields.LIMB_BITS and i + 1 < num_limbs:
+            d = d | (scalars[i + 1] << jnp.uint32(fields.LIMB_BITS - sh))
+        rows.append(d & mask)
+    return jnp.stack(rows)
 
 
-def _bucket_sums(
-    cops: C.CurveOps, digits: jnp.ndarray, points: JacobianPoint, num_buckets: int
-) -> JacobianPoint:
-    """S_b = sum of points with digit b; bucket-indexed batch (empty = inf)."""
-    order = jnp.argsort(digits)
-    d_sorted = digits[order]
-    pts = JacobianPoint(
-        jnp.take(points.x, order, axis=-1),
-        jnp.take(points.y, order, axis=-1),
-        jnp.take(points.z, order, axis=-1),
-    )
-    heads = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), d_sorted[1:] != d_sorted[:-1]]
-    )
-    scanned = S.seg_scan(cops, pts, heads)
-    ends = jnp.concatenate(
-        [d_sorted[1:] != d_sorted[:-1], jnp.ones((1,), jnp.bool_)]
-    )
-    idx = jnp.where(ends, d_sorted.astype(jnp.int32), num_buckets)
-
-    def bucket_shape(a):
-        return (*a.shape[:-1], num_buckets)
-
-    inf = cops.infinity_like(
-        JacobianPoint(
-            jnp.zeros(bucket_shape(points.x), points.x.dtype),
-            jnp.zeros(bucket_shape(points.y), points.y.dtype),
-            jnp.zeros(bucket_shape(points.z), points.z.dtype),
+def _tree_reduce_last(cops: C.CurveOps, pts: JacobianPoint) -> JacobianPoint:
+    """Pairwise-halving sum over the (power-of-two) trailing axis -> length 1."""
+    n = pts.x.shape[-1]
+    while n > 1:
+        assert n % 2 == 0
+        half = n // 2
+        lo = JacobianPoint(
+            pts.x[..., :half], pts.y[..., :half], pts.z[..., :half]
         )
-    )
-    return JacobianPoint(
-        inf.x.at[..., idx].set(scanned.x, mode="drop"),
-        inf.y.at[..., idx].set(scanned.y, mode="drop"),
-        inf.z.at[..., idx].set(scanned.z, mode="drop"),
-    )
+        hi = JacobianPoint(
+            pts.x[..., half:], pts.y[..., half:], pts.z[..., half:]
+        )
+        pts = cops.add(lo, hi)
+        n = half
+    return pts
 
 
-def _reduce_buckets(cops: C.CurveOps, buckets: JacobianPoint) -> JacobianPoint:
+def _weighted_linear(cops: C.CurveOps, buckets: JacobianPoint) -> JacobianPoint:
     """sum_{b>=1} b*S_b = sum_{b>=1} suffix[b], suffix[b] = sum_{b'>=b} S_b'."""
     # zero out bucket 0 so it contributes to no suffix
     lane0 = jnp.zeros((buckets.x.shape[-1],), jnp.bool_).at[0].set(True)
@@ -107,42 +104,212 @@ def _reduce_buckets(cops: C.CurveOps, buckets: JacobianPoint) -> JacobianPoint:
     return S.total_sum(cops, masked)
 
 
+def _weighted_reduce(
+    cops: C.CurveOps, buckets: JacobianPoint, window_bits: int
+) -> JacobianPoint:
+    """sum_{b>=1} b*S_b over 2^c buckets via b = 2^c2*h + l."""
+    c1 = window_bits // 2
+    c2 = window_bits - c1
+    hi_n, lo_n = 1 << c1, 1 << c2
+
+    def split(a):
+        return a.reshape(*a.shape[:-1], hi_n, lo_n)
+
+    def squeeze(p):
+        return JacobianPoint(p.x[..., 0], p.y[..., 0], p.z[..., 0])
+
+    mat = JacobianPoint(split(buckets.x), split(buckets.y), split(buckets.z))
+    row_sums = squeeze(_tree_reduce_last(cops, mat))  # (..., 2^c1): sum over l
+    mat_t = JacobianPoint(
+        jnp.swapaxes(mat.x, -1, -2),
+        jnp.swapaxes(mat.y, -1, -2),
+        jnp.swapaxes(mat.z, -1, -2),
+    )
+    col_sums = squeeze(_tree_reduce_last(cops, mat_t))  # (..., 2^c2): sum over h
+    w_hi = _weighted_linear(cops, row_sums)  # sum_h h*R_h
+    w_lo = _weighted_linear(cops, col_sums)  # sum_l l*C_l
+    for _ in range(c2):
+        w_hi = cops.double(w_hi)
+    return cops.add(w_hi, w_lo)
+
+
+def _bucket_sums(
+    cops: C.CurveOps,
+    digits: jnp.ndarray,
+    points: JacobianPoint,
+    num_buckets: int,
+    column_steps: int,
+    unroll: bool,
+) -> JacobianPoint:
+    """S_b = sum of points with digit b; bucket-indexed batch (empty = inf).
+
+    digits: (n,) with n = R*K (pre-padded); points: affine Jacobian batch
+    (Z in {0,1}). Sequential-column segmented reduce, see module docstring.
+    """
+    n = digits.shape[-1]
+    steps = min(column_steps, n)
+    lanes = n // steps
+    assert lanes * steps == n
+    o = cops.ops
+
+    order = jnp.argsort(digits)
+    d_sorted = jnp.take(digits, order)
+    # chunk-contiguous transposed layout: element [k, j] = sorted[j*K + k]
+    perm = order.reshape(lanes, steps).T.reshape(-1)
+    d_t = d_sorted.reshape(lanes, steps).T  # (K, R)
+
+    def gather_t(a):
+        taken = jnp.take(a, perm, axis=-1)
+        return taken.reshape(*a.shape[:-1], steps, lanes)
+
+    px, py, pz = gather_t(points.x), gather_t(points.y), gather_t(points.z)
+
+    big = jnp.asarray(jnp.iinfo(d_t.dtype).max, d_t.dtype)
+    prev = jnp.concatenate([jnp.full((1, lanes), big, d_t.dtype), d_t[:-1]])
+    head = d_t != prev  # run restarts (k==0 or digit change)
+    next_last = jnp.concatenate([d_t[0, 1:], jnp.full((1,), big, d_t.dtype)])
+    nxt = jnp.concatenate([d_t[1:], next_last[None]])
+    end = d_t != nxt  # true segment ends in global sorted order
+
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    acc0 = cops.infinity_like(
+        JacobianPoint(
+            px[..., 0, :] * 0, py[..., 0, :] * 0, pz[..., 0, :] * 0
+        )
+    )
+
+    def bucket_template(a):
+        return jnp.zeros((*a.shape[:-1], num_buckets), a.dtype)
+
+    binf = cops.infinity_like(
+        JacobianPoint(
+            bucket_template(points.x),
+            bucket_template(points.y),
+            bucket_template(points.z),
+        )
+    )
+
+    def step(k, carry):
+        ax, ay, az, bx, by, bz = carry
+        axis = px.ndim - 2
+
+        def pick_k(a):
+            return jax.lax.dynamic_index_in_dim(a, k, axis, keepdims=False)
+
+        p_k = JacobianPoint(pick_k(px), pick_k(py), pick_k(pz))
+        hmask = jax.lax.dynamic_index_in_dim(head, k, 0, keepdims=False)
+        emask = jax.lax.dynamic_index_in_dim(end, k, 0, keepdims=False)
+        d_k = jax.lax.dynamic_index_in_dim(d_t, k, 0, keepdims=False)
+        added = cops.madd(JacobianPoint(ax, ay, az), p_k)
+        ax = o.select(hmask, p_k.x, added.x)
+        ay = o.select(hmask, p_k.y, added.y)
+        az = o.select(hmask, p_k.z, added.z)
+        # completed runs scatter to their bucket; others to unique dropped slots
+        idx = jnp.where(
+            emask, d_k.astype(jnp.int32), jnp.int32(num_buckets) + lane_ids
+        )
+        bx = bx.at[..., idx].set(ax, mode="drop")
+        by = by.at[..., idx].set(ay, mode="drop")
+        bz = bz.at[..., idx].set(az, mode="drop")
+        return ax, ay, az, bx, by, bz
+
+    init = (acc0.x, acc0.y, acc0.z, binf.x, binf.y, binf.z)
+    if unroll:
+        carry = init
+        for k in range(steps):
+            carry = step(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, steps, step, init)
+    ax, ay, az, bx, by, bz = carry
+    buckets_a = JacobianPoint(bx, by, bz)
+
+    # trailing partials: chunk j's last run continues into chunk j+1 iff the
+    # digit matches across the boundary; fold equal-key (ascending, adjacent)
+    # partials with one segmented scan, scatter group totals at unique slots.
+    last_d = d_t[-1]
+    first_d = d_t[0]
+    cont = jnp.concatenate(
+        [last_d[:-1] == first_d[1:], jnp.zeros((1,), jnp.bool_)]
+    )
+    acc = JacobianPoint(ax, ay, az)
+    inf_r = cops.infinity_like(acc)
+    val = JacobianPoint(
+        o.select(cont, acc.x, inf_r.x),
+        o.select(cont, acc.y, inf_r.y),
+        o.select(cont, acc.z, inf_r.z),
+    )
+    key = jnp.where(cont, last_d.astype(jnp.int32), jnp.int32(num_buckets))
+    heads_b = jnp.concatenate([jnp.ones((1,), jnp.bool_), key[1:] != key[:-1]])
+    scanned = S.seg_scan(cops, val, heads_b)
+    ends_b = jnp.concatenate([key[1:] != key[:-1], jnp.ones((1,), jnp.bool_)])
+    idx_b = jnp.where(ends_b, key, jnp.int32(num_buckets) + lane_ids)
+    buckets_b = JacobianPoint(
+        binf.x.at[..., idx_b].set(scanned.x, mode="drop"),
+        binf.y.at[..., idx_b].set(scanned.y, mode="drop"),
+        binf.z.at[..., idx_b].set(scanned.z, mode="drop"),
+    )
+    return cops.add(buckets_a, buckets_b)
+
+
 def msm(
     cops: C.CurveOps,
     scalars: jnp.ndarray,
     points: JacobianPoint,
-    window_bits: int = 16,
+    window_bits: int = DEFAULT_WINDOW_BITS,
     unroll: bool = False,
+    column_steps: int = DEFAULT_COLUMN_STEPS,
 ) -> JacobianPoint:
     """sum_i scalars[i] * points[i].
 
     scalars: (S_L, N) canonical (non-Montgomery) 16-bit limbs of the scalar
-    field. points: Jacobian batch of N points (typically affine, Z=1).
-    Returns a single-lane Jacobian point (trailing axis length 1).
+    field. points: Jacobian batch of N points (affine, Z in {0,1} — as
+    produced by `encode_points`/`to_affine`; required by the mixed-add
+    bucket accumulation). Returns a single-lane Jacobian point.
 
     `unroll=True` replaces the fori_loops with Python loops: used for
     op-by-op eager execution (tests) where compiling the rolled graph is
     not worth it.
     """
     num_buckets = 1 << window_bits
-    digits = window_digits(scalars, window_bits)  # (W, N)
+    n = points.x.shape[-1]
+    if scalars.shape[-1] != n:
+        raise ValueError(
+            f"scalar lanes ({scalars.shape[-1]}) != point lanes ({n})"
+        )
+    steps = min(column_steps, n)
+    n2 = -(-n // steps) * steps
+    if n2 != n:
+        # pad with infinity points, digit 0 (bucket 0 has weight 0)
+        pad = n2 - n
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((scalars.shape[0], pad), scalars.dtype)], axis=-1
+        )
+        inf = cops.infinity_like(points)
+
+        def pad_c(a, ia):
+            return jnp.concatenate([a, ia[..., :pad]], axis=-1)
+
+        points = JacobianPoint(
+            pad_c(points.x, inf.x), pad_c(points.y, inf.y), pad_c(points.z, inf.z)
+        )
+    digits = window_digits(scalars, window_bits)  # (W, n2)
     num_windows = digits.shape[0]
 
-    def one_window(w):
-        buckets = _bucket_sums(cops, digits[w], points, num_buckets)
-        return _reduce_buckets(cops, buckets)
+    def one_window(d):
+        buckets = _bucket_sums(cops, d, points, num_buckets, steps, unroll)
+        return _weighted_reduce(cops, buckets, window_bits)
 
     if unroll:
-        acc = one_window(num_windows - 1)
+        acc = one_window(digits[num_windows - 1])
         for w in range(num_windows - 2, -1, -1):
             for _ in range(window_bits):
                 acc = cops.double(acc)
-            acc = cops.add(acc, one_window(w))
+            acc = cops.add(acc, one_window(digits[w]))
         return acc
 
     def window_body(i, carry):
         wx, wy, wz = carry
-        res = one_window(i)
+        res = one_window(digits[i])
         return (
             jax.lax.dynamic_update_index_in_dim(wx, res.x, i, 0),
             jax.lax.dynamic_update_index_in_dim(wy, res.y, i, 0),
@@ -182,7 +349,7 @@ def msm(
     return JacobianPoint(*result)
 
 
-msm_jit = jax.jit(msm, static_argnums=(0, 3, 4))
+msm_jit = jax.jit(msm, static_argnums=(0, 3, 4, 5))
 
 
 def msm_host_oracle(curve, scalars, points):

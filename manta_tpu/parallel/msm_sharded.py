@@ -28,7 +28,7 @@ def sharded_msm(
     scalars: jnp.ndarray,
     points: JacobianPoint,
     mesh,
-    window_bits: int = 16,
+    window_bits: int = M.DEFAULT_WINDOW_BITS,
 ) -> JacobianPoint:
     """sum_i scalars[i] * points[i] across a device mesh.
 

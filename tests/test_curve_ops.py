@@ -47,6 +47,23 @@ class TestCurveOps:
         dev = jax.jit(ops.add)(ops.encode_points(a_pts), ops.encode_points(b_pts))
         assert ops.decode_points(dev) == expected
 
+    def test_madd_edge_cases(self, curve, rng):
+        """Mixed add (affine q): same edge matrix as the full add."""
+        ops = C.curve_ops_for(curve)
+        g = curve.generator
+        p1 = curve.scalar_mul(5, g)
+        p2 = curve.scalar_mul(7, g)
+        a_pts = [p1, p1, p1, None, p1, None]
+        b_pts = [p2, p1, curve.neg(p1), p2, None, None]
+        expected = [curve.add(a, b) for a, b in zip(a_pts, b_pts)]
+        dev = jax.jit(ops.madd)(ops.encode_points(a_pts), ops.encode_points(b_pts))
+        assert ops.decode_points(dev) == expected
+        # non-affine first operand (Z != 1): madd(2P_jac, q) == 2P + q
+        dbl = ops.double(ops.encode_points([p1] * len(b_pts)))
+        expected2 = [curve.add(curve.double(p1), b) for b in b_pts]
+        dev2 = jax.jit(ops.madd)(dbl, ops.encode_points(b_pts))
+        assert ops.decode_points(dev2) == expected2
+
     def test_double(self, curve, rng):
         ops = C.curve_ops_for(curve)
         pts = host_points(curve, rng, 4) + [None]

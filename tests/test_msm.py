@@ -88,7 +88,10 @@ class TestSegScan:
 
 
 class TestMsm:
-    @pytest.mark.parametrize("window_bits", [4, 16])
+    # window 6 exercises digits straddling 16-bit limb boundaries (6 does
+    # not divide 16) while keeping the bucket arrays CPU-compile-friendly;
+    # the production window (13) runs on real hardware via bench.py
+    @pytest.mark.parametrize("window_bits", [4, 6])
     @pytest.mark.parametrize("n", [8, 200])
     def test_toy_msm(self, window_bits, n, rng):
         ops = C.curve_ops_for(TOY)
@@ -107,6 +110,41 @@ class TestMsm:
         expected = TOY.msm(scalars, points)
         sc = jnp.asarray(F.encode_ints(TOY.scalar_field, scalars, montgomery=False))
         result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
+        assert ops.decode_points(result) == [expected]
+
+    def test_toy_msm_same_point_same_digit(self, rng):
+        """Identical points with identical scalars force the doubling edge
+        case inside the mixed-add accumulation loop (lax.cond path)."""
+        ops = C.curve_ops_for(TOY)
+        p = TOY.scalar_mul(7, TOY.generator)
+        points = [p, p, p] + [TOY.scalar_mul(k + 2, TOY.generator) for k in range(5)]
+        scalars = [9, 9, 9] + [rng.randrange(TOY.scalar_field.modulus) for _ in range(5)]
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(F.encode_ints(TOY.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), 4, False, 4)
+        assert ops.decode_points(result) == [expected]
+
+    def test_toy_msm_bucket_spans_columns(self, rng):
+        """All-equal scalars put every point in one bucket spanning every
+        column chunk, exercising the trailing-partial fold (B-phase)."""
+        ops = C.curve_ops_for(TOY)
+        n = 20
+        points = toy_points(rng, n)
+        scalars = [12345 % TOY.scalar_field.modulus] * n
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(F.encode_ints(TOY.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), 4, False, 2)
+        assert ops.decode_points(result) == [expected]
+
+    def test_toy_msm_padding(self, rng):
+        """n not divisible by column_steps exercises the infinity-pad path."""
+        ops = C.curve_ops_for(TOY)
+        n = 10
+        points = toy_points(rng, n)
+        scalars = [rng.randrange(TOY.scalar_field.modulus) for _ in range(n)]
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(F.encode_ints(TOY.scalar_field, scalars, montgomery=False))
+        result = M.msm_jit(ops, sc, ops.encode_points(points), 5, False, 7)
         assert ops.decode_points(result) == [expected]
 
     @pytest.mark.skipif(
