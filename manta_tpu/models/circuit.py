@@ -343,7 +343,31 @@ def to_bits_le(com, x, num_bits: int, value: Optional[int] = None):
     for i, b in enumerate(bits):
         acc = com.add(acc, com.scale(b, 1 << i))
     com.assert_eq(acc, x)
+    if num_bits >= com.field.bits:
+        # full-width decompositions admit a second (x + p) representation;
+        # enforce the canonical one (bits <= p - 1), matching ark-r1cs-std
+        # FpVar::to_bits_le's enforce_in_field_le
+        enforce_bits_le_constant(com, bits, com.field.modulus - 1)
     return bits
+
+
+def enforce_bits_le_constant(com, bits, c: int):
+    """Enforce the little-endian boolean wires `bits` represent a value
+    <= the constant c (lexicographic compare, MSB down: one multiply per
+    bit — the ark `enforce_smaller_or_equal_than_le` pattern)."""
+    if isinstance(com, Native):
+        v = sum(int(com.value(b)) << i for i, b in enumerate(bits))
+        assert v <= c, "value exceeds field-canonical range"
+        return
+    # eq = "all higher bits equal c's bits so far"
+    eq = com.constant(1)
+    for i in reversed(range(len(bits))):
+        if (c >> i) & 1:
+            eq = com.mul(eq, bits[i])
+        else:
+            # if still equal on the high bits, this bit must be 0
+            com._enforce(eq, bits[i], com.constant(0))
+    return
 
 
 def conditional_select(com, cond, if_true, if_false):

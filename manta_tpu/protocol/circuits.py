@@ -201,6 +201,13 @@ def bool_or(com, a, b):
     return com.sub(com.add(a, b), com.mul(a, b))
 
 
+def cond_select(com, b, t, f):
+    """b ? t : f  =  f + b*(t - f) (1 constraint)."""
+    if isinstance(com, CC.Native):
+        return t if com.value(b) else f
+    return com.add(f, com.mul(b, com.sub(t, f)))
+
+
 # ---------------------------------------------------------------------------
 # Scheme gadgets
 # ---------------------------------------------------------------------------
@@ -306,14 +313,30 @@ def _alloc_value(com, value: Optional[int], bits: int, public: bool):
 
 
 def _receiver_circuit(com, cfg: CFG.MantaPayConfig, b: Optional[ReceiverBundle]):
-    """Mint well-formedness for an OPAQUE receiver (ToPrivate receivers and
-    transfer outputs are always private: is_transparent = 0, public asset 0).
+    """Mint well-formedness (reference `protocol.rs:2073-2098`
+    MintSecret::well_formed_asset).
 
-    Public: utxo.commitment, note (epk.x, epk.y, tag, ct[0..3]).
-    Secret: rk point, esk, randomness, asset (id, value).
-    Returns (asset_id, asset_value) wires.
+    Public: full utxo (is_transparent, public asset id/value, commitment)
+    + note (epk.x, epk.y, tag, ct[0..3]) — reference Input order
+    (`protocol.rs:1933-1937`). Secret: rk point, esk, randomness, asset
+    (id, value). Asserts is_transparent == plaintext.asset.is_empty() and
+    returns the representative asset wires
+    select(is_transparent, public_asset, plaintext.asset).
     """
-    # public
+    # public utxo block: is_transparent, public asset, commitment
+    transparent_pub = com.public_input(
+        None if b is None else int(b.utxo.is_transparent)
+    )
+    if not isinstance(com, CC.Native):
+        # booleanity: b*b = b
+        com._enforce(transparent_pub, transparent_pub, transparent_pub)
+    pub_id = com.public_input(None if b is None else b.utxo.public_asset.id)
+    pub_value = _alloc_value(
+        com,
+        None if b is None else b.utxo.public_asset.value,
+        VALUE_BITS if cfg.scalar_bits >= 128 else cfg.scalar_bits,
+        public=True,
+    )
     commitment_pub = com.public_input(None if b is None else b.utxo.commitment)
     epk_pub = (
         com.public_input(None if b is None else b.note.ephemeral_public_key[0]),
@@ -366,7 +389,14 @@ def _receiver_circuit(com, cfg: CFG.MantaPayConfig, b: Optional[ReceiverBundle])
     com.assert_eq(tag, tag_pub)
     for i in range(3):
         com.assert_eq(ct[i], ct_pub[i])
-    return asset_id, asset_value
+    # transparency: is_transparent == plaintext.asset.is_empty(); the
+    # representative asset is select(is_transparent, public, secret)
+    id_zero = is_zero_gadget(com, asset_id, cfg.field.modulus)
+    value_zero = is_zero_gadget(com, asset_value, cfg.field.modulus)
+    com.assert_eq(bool_and(com, id_zero, value_zero), transparent_pub)
+    sel_id = cond_select(com, transparent_pub, pub_id, asset_id)
+    sel_value = cond_select(com, transparent_pub, pub_value, asset_value)
+    return sel_id, sel_value
 
 
 def _sender_circuit(
@@ -400,9 +430,29 @@ def _sender_circuit(
     commitment = utxo_commitment_gadget(
         com, cfg, randomness, asset_id, asset_value, rk
     )
-    # opaque spent utxo: is_transparent = 0, public asset = (0, 0)
-    zero = com.constant(0)
-    item = item_hash_gadget(com, cfg, zero, zero, zero, commitment)
+    # spent utxo transparency (secret wires; reference
+    # `protocol.rs:2578-2618` SpendSecret::well_formed_asset):
+    # is_transparent == plaintext.asset.is_empty(), representative asset =
+    # select(is_transparent, public_asset, plaintext.asset)
+    transparent = com.secret_witness(
+        None if b is None else int(b.utxo.is_transparent)
+    )
+    com._enforce(transparent, transparent, transparent)  # booleanity
+    pub_id = com.secret_witness(
+        None if b is None else b.utxo.public_asset.id
+    )
+    pub_value = _alloc_value(
+        com,
+        None if b is None else b.utxo.public_asset.value,
+        VALUE_BITS if cfg.scalar_bits >= 128 else cfg.scalar_bits,
+        public=False,
+    )
+    id_zero = is_zero_gadget(com, asset_id, cfg.field.modulus)
+    plain_value_zero = is_zero_gadget(com, asset_value, cfg.field.modulus)
+    com.assert_eq(bool_and(com, id_zero, plain_value_zero), transparent)
+    sel_id = cond_select(com, transparent, pub_id, asset_id)
+    sel_value = cond_select(com, transparent, pub_value, asset_value)
+    item = item_hash_gadget(com, cfg, transparent, pub_id, pub_value, commitment)
     # membership OR zero value
     path_len = cfg.merkle_height - 1
     index_bits = [
@@ -419,12 +469,12 @@ def _sender_circuit(
     member = merkle_membership_gadget(
         com, cfg, item, index_bits, siblings, root_pub
     )
-    value_zero = is_zero_gadget(com, asset_value, cfg.field.modulus)
+    value_zero = is_zero_gadget(com, sel_value, cfg.field.modulus)
     ok = bool_or(com, value_zero, member)
     com.assert_eq(ok, com.constant(1))
     # nullifier
     com.assert_eq(nullifier_gadget(com, cfg, pak, item), nullifier_pub)
-    return asset_id, asset_value
+    return sel_id, sel_value
 
 
 def _authorization_circuit(com, cfg: CFG.MantaPayConfig, auth: Optional[K.Authorization]):
@@ -532,7 +582,12 @@ SHAPES = {
 
 
 def receiver_public_inputs(b: ReceiverBundle) -> List[int]:
+    """Receiver public block in circuit order: full utxo then note
+    (reference Input order, `protocol.rs:1933-1937`)."""
     return [
+        int(b.utxo.is_transparent),
+        b.utxo.public_asset.id,
+        b.utxo.public_asset.value,
         b.utxo.commitment,
         b.note.ephemeral_public_key[0],
         b.note.ephemeral_public_key[1],

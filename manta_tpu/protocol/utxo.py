@@ -77,7 +77,15 @@ class MintSecret:
     ephemeral_secret_key: int  # incoming randomness (KEM part)
     plaintext: IncomingPlaintext
 
-    def utxo(self, cfg: CFG.MantaPayConfig, transparent: bool = False) -> Utxo:
+    def utxo(
+        self,
+        cfg: CFG.MantaPayConfig,
+        transparent: bool = False,
+        public_asset: Asset | None = None,
+    ) -> Utxo:
+        """Transparent UTXOs carry the real asset publicly and an *empty*
+        plaintext asset (reference `protocol.rs:69-114` Visibility:
+        secret() is the asset for opaque coins, public() for transparent)."""
         commitment = utxo_commitment(
             cfg,
             self.plaintext.utxo_commitment_randomness,
@@ -88,7 +96,7 @@ class MintSecret:
             assert self.plaintext.asset.is_empty()
         return Utxo(
             is_transparent=transparent,
-            public_asset=self.plaintext.asset if transparent else Asset(0, 0),
+            public_asset=(public_asset or Asset(0, 0)) if transparent else Asset(0, 0),
             commitment=commitment,
         )
 

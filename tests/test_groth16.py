@@ -114,6 +114,30 @@ def test_zero_randomness_proof(fr, rng):
     assert G.verify(vk, proof, [15])
 
 
+def test_to_bits_le_canonical_only(fr, rng):
+    """Full-width decompositions must reject the non-canonical (x + p)
+    representation (ark FpVar::to_bits_le enforce_in_field_le parity)."""
+
+    def witness_bits(value_bits):
+        com = CC.R1CS(fr, mode="prove")
+        x = com.public_input(sum(b << i for i, b in enumerate(value_bits)) % fr.modulus)
+        bits = [CC.boolean(com, b) for b in value_bits]
+        acc = com.constant(0)
+        for i, b in enumerate(bits):
+            acc = com.add(acc, com.scale(b, 1 << i))
+        com.assert_eq(acc, x)
+        CC.enforce_bits_le_constant(com, bits, fr.modulus - 1)
+        matrices, assignment = com.finalize()
+        return matrices.is_satisfied(assignment)
+
+    x = rng.randrange(fr.modulus)
+    canonical = [(x >> i) & 1 for i in range(fr.bits + 1)]
+    assert witness_bits(canonical)
+    # x + p fits in bits+1 bits and is == x mod p, but must be rejected
+    noncanonical = [((x + fr.modulus) >> i) & 1 for i in range(fr.bits + 1)]
+    assert not witness_bits(noncanonical)
+
+
 def test_gadget_library(fr, rng):
     """Bit decomposition, conditional select/swap, Merkle path gadget —
     native vs R1CS consistency."""
