@@ -25,9 +25,9 @@ import time
 os.environ.setdefault("MANTA_TPU_PALLAS", "1")
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from manta_tpu.utils.jaxcache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 ARKWORKS_SINGLE_CORE_MPOINTS_S = 0.55
 

@@ -26,8 +26,9 @@ if jax.config.jax_platforms not in (None, "cpu") and "--device" not in sys.argv:
 
     clear_backends()
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+from manta_tpu.utils.jaxcache import enable_compile_cache
+
+enable_compile_cache()
 
 import random
 

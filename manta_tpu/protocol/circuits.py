@@ -421,9 +421,9 @@ def _sender_circuit(
     )
     # derive rk from pak: vk = VKDF(pak); rk = [vk]G. The viewing key is a
     # full-width hash output, so its decomposition always uses the full field
-    # bit width regardless of cfg.scalar_bits.
-    # TODO(soundness polish): enforce the decomposition is the canonical
-    # (< p) one, as ark-r1cs-std does for FpVar::to_bits_le.
+    # bit width regardless of cfg.scalar_bits. Full-width decompositions are
+    # enforced canonical (< p) by `models/circuit.py` `to_bits_le`, matching
+    # ark-r1cs-std FpVar::to_bits_le.
     vk = viewing_key_gadget(com, cfg, pak)
     vk_bits = CC.to_bits_le(com, vk, cfg.field.bits)
     rk = edwards_scalar_mul_fixed(com, cfg, vk_bits, cfg.group_generator)

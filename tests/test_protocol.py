@@ -96,7 +96,10 @@ class TestMerkleForest:
             current = forest.current_proof(item, proof.shard, proof.index)
             assert forest.verify(item, current)
         # tampered item fails
-        assert not forest.verify(items[0] + 1, forest.current_proof(items[0], proofs[0].shard, proofs[0].index)) or True
+        assert not forest.verify(
+            items[0] + 1,
+            forest.current_proof(items[0], proofs[0].shard, proofs[0].index),
+        )
         bad = forest.current_proof(items[0], proofs[0].shard, proofs[0].index)
         bad_siblings = list(bad.siblings)
         bad_siblings[0] = (bad_siblings[0] + 1) % CFG.FR.modulus
@@ -310,7 +313,7 @@ class TestForkedForest:
         fork = MK.ForkedForest(base)
         p = fork.insert_item(items[2])
         # fork sees the new item; trunk unchanged
-        assert fork.root(p.shard) != base_roots.get(p.shard) or True
+        assert fork.root(p.shard) != base_roots[p.shard]
         assert base.root(p.shard) == base_roots[p.shard]
         fork.discard()
         fork2 = MK.ForkedForest(base)
