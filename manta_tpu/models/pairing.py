@@ -28,6 +28,34 @@ from manta_tpu.utils import hostmath
 from manta_tpu.utils.hostmath import fq2_add, fq2_inv, fq2_mul, fq2_neg, fq2_sub
 
 
+def fq2_pow(a, e: int, p: int):
+    """Square-and-multiply in Fq2."""
+    result = (1, 0)
+    base = a
+    while e:
+        if e & 1:
+            result = fq2_mul(result, base, p)
+        base = fq2_mul(base, base, p)
+        e >>= 1
+    return result
+
+
+#: BN parameter x with p(x), r(x) the BN254 polynomials; the optimal-ate
+#: Miller loop runs over 6x+2 (ark-bn254 v0.3 `Parameters::X`).
+BN_X = 4965661367192848881
+
+#: Signed binary digits of 6x+2, least-significant first — byte-identical to
+#: ark-bn254 v0.3 `ATE_LOOP_COUNT` so the emitted Miller coefficient stream
+#: matches the reference's `G2Prepared` serialization (91 triples).
+BN_ATE_LOOP_COUNT = [
+    0, 0, 0, 1, 0, 1, 0, -1, 0, 0, 1, -1, 0, 0, 1, 0, 0, 1, 1, 0, -1, 0, 0,
+    1, 0, -1, 0, 0, 0, 0, 1, 1, 1, 0, 0, -1, 0, 0, 1, 0, 0, 0, 0, 0, -1, 0,
+    0, 1, 1, 0, 0, -1, 0, 0, 0, 1, 1, 0, -1, 0, 0, 1, 0, 1, 1,
+]
+
+assert sum(d << i for i, d in enumerate(BN_ATE_LOOP_COUNT)) == 6 * BN_X + 2
+
+
 @dataclasses.dataclass(frozen=True)
 class PairingConfig:
     name: str
@@ -225,9 +253,51 @@ class Fq12:
     def w(self):
         return (self.f6_zero, self.f6_one)
 
+    # -- frobenius --
+
+    def _w_coeffs(self, a):
+        """Fq12 as a degree-6 polynomial in w over Fq2 (v = w^2):
+        a = A + B·w with A = a0 + a1 v + a2 v^2  ->  [a0,b0,a1,b1,a2,b2]."""
+        (a0, a1, a2), (b0, b1, b2) = a
+        return [a0, b0, a1, b1, a2, b2]
+
+    def _from_w_coeffs(self, c):
+        return ((c[0], c[2], c[4]), (c[1], c[3], c[5]))
+
+    @functools.lru_cache(maxsize=8)
+    def _frob_gammas(self, power: int):
+        """gamma_i^j = (xi^((p^i - 1)/6))^j for j = 0..5 (w^j twist factors).
+
+        Valid because p ≡ 1 (mod 6) and w^6 = xi: w^(p^i) = gamma_i · w."""
+        p = self.p
+        assert p % 6 == 1
+        g = fq2_pow(self.xi, (p**power - 1) // 6, p)
+        out = [(1, 0)]
+        for _ in range(5):
+            out.append(fq2_mul(out[-1], g, p))
+        return tuple(out)
+
+    def frobenius(self, a, power: int):
+        """a^(p^power): Fq2-conjugate each w-coefficient (power times) and
+        multiply by the w^j twist factors."""
+        power %= 12
+        if power == 0:
+            return a
+        p = self.p
+        gammas = self._frob_gammas(power)
+        coeffs = self._w_coeffs(a)
+        out = []
+        for j, c in enumerate(coeffs):
+            if power % 2:
+                c = (c[0], (-c[1]) % p)  # Fq2 conjugation
+            out.append(fq2_mul(c, gammas[j], p))
+        return self._from_w_coeffs(out)
+
 
 @functools.lru_cache(maxsize=None)
 def _engine(cfg: PairingConfig):
+    if not cfg.m_twist:  # BN family: ark-identical optimal ate
+        return BnAtePairingEngine(cfg)
     return PairingEngine(cfg)
 
 
@@ -301,13 +371,19 @@ class PairingEngine:
         return f_acc
 
     def final_exponentiation(self, f_val):
+        """(p^12-1)/r structured as easy · hard:
+        easy  = (p^6 - 1)(p^2 + 1)   — one inversion + two frobenius maps,
+        hard  = (p^4 - p^2 + 1)/r    — ~¼ the bits of the old (p^6+1)/r pow.
+        Same GT value as the flat exponentiation, much faster."""
         f12 = self.f
         p = self.p
-        # easy part: f^(p^6 - 1)
-        f_val = f12.mul(f12.conj(f_val), f12.inv(f_val))
-        # remaining exponent: (p^6 + 1) / r
-        exp = (p**6 + 1) // self.r
-        return f12.pow(f_val, exp)
+        f_val = f12.mul(f12.conj(f_val), f12.inv(f_val))  # f^(p^6 - 1)
+        f_val = f12.mul(f12.frobenius(f_val, 2), f_val)  # ^(p^2 + 1)
+        return self._hard_part(f_val)
+
+    def _hard_part(self, m):
+        exp = (self.p**4 - self.p**2 + 1) // self.r
+        return self.f.pow(m, exp)
 
     def pairing(self, p_pt, q_pt):
         """Full reduced Tate pairing; None inputs (infinity) -> 1."""
@@ -325,6 +401,196 @@ class PairingEngine:
             if p_pt is None or q_pt is None:
                 continue
             acc = f12.mul(acc, self.miller_tate(p_pt, self.untwist(q_pt)))
+        return self.final_exponentiation(acc) == f12.one
+
+
+class BnAtePairingEngine(PairingEngine):
+    """ark-identical optimal-ate pairing for BN curves (BN254).
+
+    Reproduces `ark-ec` v0.3's BN pairing bit-for-bit (reference binding:
+    `manta-crypto/src/arkworks/groth16.rs:308-500` serializes `G2Prepared`
+    Miller coefficients and the `alpha_g1_beta_g2` GT element into the
+    published verifying contexts — this engine regenerates both):
+
+    - `prepare_g2` emits the homogeneous-projective doubling/addition
+      coefficient stream over `BN_ATE_LOOP_COUNT` (= ark `G2Prepared::from`),
+      91 triples for BN254, D-twist ordering.
+    - `miller_ate` folds the coefficients with the sparse (c0, c3·w, c4·vw)
+      line form (= ark `Bn::ell` + `mul_by_034`).
+    - `_hard_part` is the Fuentes-Castañeda et al. sequence ark uses — this
+      computes a fixed r-coprime multiple of the hard exponent, so the GT
+      VALUE differs from the generic pow; matching ark requires this exact
+      sequence.
+    """
+
+    def __init__(self, cfg: PairingConfig):
+        super().__init__(cfg)
+        p = self.p
+        # untwist-frobenius factors: psi(q)^p = psi(q1) with
+        # q1 = (conj(x)·xi^((p-1)/3), conj(y)·xi^((p-1)/2))
+        self._q_x_mul = fq2_pow(cfg.xi, (p - 1) // 3, p)
+        self._q_y_mul = fq2_pow(cfg.xi, (p - 1) // 2, p)
+
+    # -- G2 preparation (ark `G2Prepared::from`) --
+
+    def _doubling_step(self, r):
+        """One projective doubling; returns (new_r, (c0, c1, c2)) with the
+        D-twist coefficient ordering (-h, 3j, i)."""
+        p = self.p
+        two_inv = pow(2, -1, p)
+        rx, ry, rz = r
+        a = fq2_mul(rx, ry, p)
+        a = tuple(c * two_inv % p for c in a)
+        b = fq2_mul(ry, ry, p)
+        c = fq2_mul(rz, rz, p)
+        e = fq2_mul(self.cfg.g2.b, fq2_add(fq2_add(c, c, p), c, p), p)
+        f = fq2_add(fq2_add(e, e, p), e, p)
+        g = fq2_add(b, f, p)
+        g = tuple(x * two_inv % p for x in g)
+        h = fq2_sub(
+            fq2_mul(fq2_add(ry, rz, p), fq2_add(ry, rz, p), p),
+            fq2_add(b, c, p),
+            p,
+        )
+        i = fq2_sub(e, b, p)
+        j = fq2_mul(rx, rx, p)
+        e_sq = fq2_mul(e, e, p)
+        new_r = (
+            fq2_mul(a, fq2_sub(b, f, p), p),
+            fq2_sub(fq2_mul(g, g, p), fq2_add(fq2_add(e_sq, e_sq, p), e_sq, p), p),
+            fq2_mul(b, h, p),
+        )
+        return new_r, (fq2_neg(h, p), fq2_add(fq2_add(j, j, p), j, p), i)
+
+    def _addition_step(self, r, q):
+        """Mixed addition r += q; returns (new_r, (lambda, -theta, j))."""
+        p = self.p
+        rx, ry, rz = r
+        qx, qy = q
+        theta = fq2_sub(ry, fq2_mul(qy, rz, p), p)
+        lam = fq2_sub(rx, fq2_mul(qx, rz, p), p)
+        c = fq2_mul(theta, theta, p)
+        d = fq2_mul(lam, lam, p)
+        e = fq2_mul(lam, d, p)
+        f = fq2_mul(rz, c, p)
+        g = fq2_mul(rx, d, p)
+        h = fq2_sub(fq2_add(e, f, p), fq2_add(g, g, p), p)
+        new_r = (
+            fq2_mul(lam, h, p),
+            fq2_sub(fq2_mul(theta, fq2_sub(g, h, p), p), fq2_mul(e, ry, p), p),
+            fq2_mul(rz, e, p),
+        )
+        j = fq2_sub(fq2_mul(theta, qx, p), fq2_mul(lam, qy, p), p)
+        return new_r, (lam, fq2_neg(theta, p), j)
+
+    def _mul_by_char(self, q):
+        """Untwist-frobenius endomorphism on G2 affine coordinates."""
+        p = self.p
+        qx, qy = q
+        return (
+            fq2_mul((qx[0], (-qx[1]) % p), self._q_x_mul, p),
+            fq2_mul((qy[0], (-qy[1]) % p), self._q_y_mul, p),
+        )
+
+    def prepare_g2(self, q):
+        """Miller coefficient stream for q (ark `G2Prepared.ell_coeffs`)."""
+        p = self.p
+        coeffs = []
+        r = (q[0], q[1], (1, 0))
+        neg_q = (q[0], fq2_neg(q[1], p))
+        for i in range(len(BN_ATE_LOOP_COUNT) - 1, 0, -1):
+            r, c = self._doubling_step(r)
+            coeffs.append(c)
+            bit = BN_ATE_LOOP_COUNT[i - 1]
+            if bit == 1:
+                r, c = self._addition_step(r, q)
+                coeffs.append(c)
+            elif bit == -1:
+                r, c = self._addition_step(r, neg_q)
+                coeffs.append(c)
+        q1 = self._mul_by_char(q)
+        q2 = self._mul_by_char(q1)
+        q2 = (q2[0], fq2_neg(q2[1], p))
+        r, c = self._addition_step(r, q1)
+        coeffs.append(c)
+        r, c = self._addition_step(r, q2)
+        coeffs.append(c)
+        return coeffs
+
+    def _ell(self, f_acc, coeff, p_pt):
+        """f *= (c0·py) + (c1·px)·w + c2·vw  (ark `ell` + `mul_by_034`)."""
+        f12 = self.f
+        p = self.p
+        c0, c1, c2 = coeff
+        px, py = p_pt
+        a = tuple(c * py % p for c in c0)
+        b = tuple(c * px % p for c in c1)
+        sparse = ((a, f12.zero2, f12.zero2), (b, c2, f12.zero2))
+        return f12.mul(f_acc, sparse)
+
+    def miller_ate(self, p_pt, coeffs):
+        f12 = self.f
+        it = iter(coeffs)
+        f_acc = f12.one
+        top = len(BN_ATE_LOOP_COUNT) - 1
+        for i in range(top, 0, -1):
+            if i != top:
+                f_acc = f12.square(f_acc)
+            f_acc = self._ell(f_acc, next(it), p_pt)
+            if BN_ATE_LOOP_COUNT[i - 1] != 0:
+                f_acc = self._ell(f_acc, next(it), p_pt)
+        # X_IS_NEGATIVE = false for BN254: no conjugation here
+        f_acc = self._ell(f_acc, next(it), p_pt)
+        f_acc = self._ell(f_acc, next(it), p_pt)
+        return f_acc
+
+    def _exp_by_neg_x(self, f_val):
+        return self.f.conj(self.f.pow(f_val, BN_X))
+
+    def _hard_part(self, r):
+        """ark-ec v0.3 BN hard part (Fuentes-Castañeda et al. sequence)."""
+        f12 = self.f
+        y0 = self._exp_by_neg_x(r)
+        y1 = f12.square(y0)
+        y2 = f12.square(y1)
+        y3 = f12.mul(y2, y1)
+        y4 = self._exp_by_neg_x(y3)
+        y5 = f12.square(y4)
+        y6 = self._exp_by_neg_x(y5)
+        y3 = f12.conj(y3)
+        y6 = f12.conj(y6)
+        y7 = f12.mul(y6, y4)
+        y8 = f12.mul(y7, y3)
+        y9 = f12.mul(y8, y1)
+        y10 = f12.mul(y8, y4)
+        y11 = f12.mul(y10, r)
+        y12 = f12.frobenius(y9, 1)
+        y13 = f12.mul(y12, y11)
+        y8 = f12.frobenius(y8, 2)
+        y14 = f12.mul(y8, y13)
+        r = f12.conj(r)
+        y15 = f12.mul(r, y9)
+        y15 = f12.frobenius(y15, 3)
+        return f12.mul(y15, y14)
+
+    def pairing(self, p_pt, q_pt):
+        if p_pt is None or q_pt is None:
+            return self.f.one
+        return self.final_exponentiation(
+            self.miller_ate(p_pt, self.prepare_g2(q_pt))
+        )
+
+    def miller(self, p_pt, q_pt):
+        """Un-exponentiated Miller value (for product-of-pairings checks)."""
+        return self.miller_ate(p_pt, self.prepare_g2(q_pt))
+
+    def multi_pairing_is_one(self, pairs) -> bool:
+        f12 = self.f
+        acc = f12.one
+        for p_pt, q_pt in pairs:
+            if p_pt is None or q_pt is None:
+                continue
+            acc = f12.mul(acc, self.miller(p_pt, q_pt))
         return self.final_exponentiation(acc) == f12.one
 
 
