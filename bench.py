@@ -67,7 +67,7 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     from manta_tpu.utils import hostmath
 
     curve = hostmath.BLS12_381_G1
-    backend = os.environ.get("MANTA_BENCH_BACKEND", "limb")
+    backend = os.environ.get("MANTA_BENCH_BACKEND", "fused")
     if backend == "rns_annotated":
         cops = C.rns_curve_ops_for(curve)
     else:
@@ -76,29 +76,56 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     n = 1 << log2n
 
     log(f"[bench] devices: {jax.devices()}")
-    log(f"[bench] building {n} points (256 distinct, tiled) ...")
-    base_pts = [
-        curve.scalar_mul(k + 1, curve.generator) for k in range(256)
-    ]
+    # ALL-DISTINCT points: P[i,j] = (i+1)G + 256(j+1)G built as one device
+    # mixed-add + batch normalization (tiled duplicate points would force
+    # the kernels' doubling branch, which real query points never hit).
+    log(f"[bench] building {n} distinct points on device ...")
+    g = curve.generator
+    base_pts, offs_pts = [], []
+    acc = g
+    for _ in range(256):
+        base_pts.append(acc)
+        acc = curve.add(acc, g)
+    step256 = curve.scalar_mul(256, g)
+    acc = step256
+    for _ in range(n // 256):
+        offs_pts.append(acc)
+        acc = curve.add(acc, step256)
     base = cops.encode_points(base_pts)  # (L, 256)
+    offs = cops.encode_points(offs_pts)  # (L, n/256)
     tiles = n // 256
-    pts = JacobianPoint(
-        jnp.tile(base.x, (1, tiles)),
-        jnp.tile(base.y, (1, tiles)),
-        jnp.tile(base.z, (1, tiles)),
-    )
-    scalars = jnp.asarray(random_scalar_limbs(curve.scalar_field, n))
 
-    log(f"[bench] compiling MSM (2^{log2n}, window {window_bits}) ...")
+    @jax.jit
+    def build(bx, by, bz, ox, oy, oz):
+        b = JacobianPoint(
+            jnp.tile(bx, (1, tiles)), jnp.tile(by, (1, tiles)), jnp.tile(bz, (1, tiles))
+        )
+        o = JacobianPoint(
+            jnp.repeat(ox, 256, axis=-1),
+            jnp.repeat(oy, 256, axis=-1),
+            jnp.repeat(oz, 256, axis=-1),
+        )
+        return tuple(cops.to_affine(cops.madd(o, b)))
+
+    pts = JacobianPoint(*build(base.x, base.y, base.z, offs.x, offs.y, offs.z))
+    jax.block_until_ready(pts.x)
+    scalars = jnp.asarray(random_scalar_limbs(curve.scalar_field, n))
+    sbits = curve.scalar_field.bits
+
+    log(f"[bench] compiling MSM (2^{log2n}, window {window_bits}, signed) ...")
     t0 = time.time()
-    result = M.msm_jit(cops, scalars, pts, window_bits)
+    result = M.msm_jit(
+        cops, scalars, pts, window_bits, False, 128, sbits, True
+    )
     jax.block_until_ready(result)
     log(f"[bench] compile+first run: {time.time() - t0:.1f}s")
 
     times = []
     for r in range(reps):
         t0 = time.time()
-        result = M.msm_jit(cops, scalars, pts, window_bits)
+        result = M.msm_jit(
+            cops, scalars, pts, window_bits, False, 128, sbits, True
+        )
         # fetch (not just block): through the axon relay, block_until_ready
         # can return before pure-XLA programs actually execute — a value
         # fetch is the only trustworthy completion barrier
@@ -111,7 +138,7 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
 
 def main():
     reps = int(os.environ.get("MANTA_BENCH_REPS", "3"))
-    window = int(os.environ.get("MANTA_BENCH_WINDOW", "13"))
+    window = int(os.environ.get("MANTA_BENCH_WINDOW", "16"))
     sizes = (
         [int(os.environ.get("MANTA_BENCH_N"))]
         if os.environ.get("MANTA_BENCH_N")

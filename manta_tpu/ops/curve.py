@@ -462,6 +462,10 @@ def _ops_cache(curve: hostmath.WeierstrassCurve, backend: str) -> CurveOps:
 def curve_ops_for(
     curve: hostmath.WeierstrassCurve, backend: str = "limb"
 ) -> CurveOps:
+    if backend == "fused":
+        from manta_tpu.ops.pallas import point_kernels as PK
+
+        return PK.fused_curve_ops_for(curve)
     if backend == "limb" and curve.name in _NAMED:
         return _NAMED[curve.name]
     return _ops_cache(curve, backend)

@@ -66,9 +66,55 @@ def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+def _fused(cops: C.CurveOps) -> bool:
+    """Fused-kernel backend: whole point formulas (and the column loop) run
+    as single Pallas kernels (`manta_tpu.ops.pallas.point_kernels`)."""
+    return hasattr(cops, "run_columns")
+
+
+def window_digits_signed(
+    scalars: jnp.ndarray, window_bits: int, scalar_bits: int = 0
+):
+    """Signed window recoding: (|digit|, negate) per window.
+
+    Digits lie in [-(2^(c-1)-1), 2^(c-1)]: a raw digit u > 2^(c-1) becomes
+    u - 2^c with a carry into the next window, so bucket count drops from
+    2^c to 2^(c-1)+1 and window count from ceil(272/c) to ceil(bits/c)
+    (the array's zero top windows are trimmed via `scalar_bits`). The top
+    retained window's raw digit is < 2^(c-1) for every supported field, so
+    the final carry never overflows (asserted).
+    """
+    raw = window_digits(scalars, window_bits)
+    if scalar_bits:
+        # +1 bit of room so the top window's outgoing carry (possible when
+        # window_bits divides scalar_bits) lands inside the retained range
+        num_windows = -(-(scalar_bits + 1) // window_bits)
+        assert num_windows <= raw.shape[0]
+        raw = raw[:num_windows]
+    half = jnp.uint32(1 << (window_bits - 1))
+    full = jnp.uint32(1 << window_bits)
+
+    def step(carry, u):
+        u2 = u + carry
+        neg = u2 > half
+        d = jnp.where(neg, full - u2, u2)
+        return neg.astype(jnp.uint32), (d, neg)
+
+    carry, (digits, negs) = jax.lax.scan(
+        step, jnp.zeros_like(raw[0]), raw
+    )
+    return digits, negs, carry
+
+
 def _tree_reduce_last(cops: C.CurveOps, pts: JacobianPoint) -> JacobianPoint:
-    """Pairwise-halving sum over the (power-of-two) trailing axis -> length 1."""
+    """Pairwise-halving sum over the (power-of-two) trailing axis -> length 1.
+
+    With the fused backend each add is ONE pallas_call, so the graph-size
+    motivation for the rolled (shape-constant) variant disappears — and
+    pairwise does ~2n lane-adds total vs the rolled log2(n)·n."""
     n = pts.x.shape[-1]
+    if not _fused(cops) and n > 1:
+        return _tree_reduce_rolled(cops, pts)
     while n > 1:
         assert n % 2 == 0
         half = n // 2
@@ -81,6 +127,34 @@ def _tree_reduce_last(cops: C.CurveOps, pts: JacobianPoint) -> JacobianPoint:
         pts = cops.add(lo, hi)
         n = half
     return pts
+
+
+def _tree_reduce_rolled(cops: C.CurveOps, pts: JacobianPoint) -> JacobianPoint:
+    """Shape-constant halving reduction: log2(n) rounds of one full-width
+    add of the array with itself rolled left by n/2^(t+1).
+
+    Lanes >= half become garbage after round t but are never read again
+    (round t+1 only consumes lanes < half/2); the compiled graph holds ONE
+    copy of the addition kernel instead of log2(n). The extra lanes of
+    arithmetic are noise next to the bucket-accumulation cost."""
+    n = pts.x.shape[-1]
+    assert n & (n - 1) == 0
+    rounds = n.bit_length() - 1
+
+    def body(t, carry):
+        p = JacobianPoint(*carry)
+        half = jnp.int32(n) >> (t + 1)
+
+        def roll(a):
+            return jnp.roll(a, -half, axis=-1)
+
+        s = cops.add(p, JacobianPoint(roll(p.x), roll(p.y), roll(p.z)))
+        return tuple(s)
+
+    out = jax.lax.fori_loop(0, rounds, body, tuple(pts))
+    return JacobianPoint(
+        out[0][..., :1], out[1][..., :1], out[2][..., :1]
+    )
 
 
 def _weighted_linear(cops: C.CurveOps, buckets: JacobianPoint) -> JacobianPoint:
@@ -133,6 +207,139 @@ def _weighted_reduce(
     return cops.add(w_hi, w_lo)
 
 
+def _weighted_reduce_signed(
+    cops: C.CurveOps, buckets: JacobianPoint, window_bits: int
+) -> JacobianPoint:
+    """Weighted reduce over 2^(c-1)+1 signed-digit buckets: the split-index
+    identity on the power-of-two block [0, 2^(c-1)), plus the single
+    top-weight bucket folded in with c-1 doublings."""
+    half_bits = window_bits - 1
+
+    def split(p, sl):
+        return JacobianPoint(p.x[..., sl], p.y[..., sl], p.z[..., sl])
+
+    main = split(buckets, slice(0, 1 << half_bits))
+    top = split(buckets, slice(1 << half_bits, (1 << half_bits) + 1))
+    acc = _weighted_reduce(cops, main, half_bits)
+    top = JacobianPoint(
+        *jax.lax.fori_loop(
+            0,
+            half_bits,
+            lambda _, t: tuple(cops.double(JacobianPoint(*t))),
+            tuple(top),
+        )
+    )
+    return cops.add(acc, top)
+
+
+def _fold_partials(
+    cops: C.CurveOps,
+    acc: JacobianPoint,
+    d_t: jnp.ndarray,
+    binf: JacobianPoint,
+    num_buckets: int,
+) -> JacobianPoint:
+    """Fold cross-chunk trailing partials into a second bucket batch.
+
+    Chunk j's last run continues into chunk j+1 iff the digit matches across
+    the boundary; equal-key (ascending, adjacent) partials fold with one
+    segmented scan, group totals scatter at unique slots."""
+    o = cops.ops
+    lanes = d_t.shape[-1]
+    lane_ids = jnp.arange(lanes, dtype=jnp.int32)
+    last_d = d_t[-1]
+    first_d = d_t[0]
+    cont = jnp.concatenate(
+        [last_d[:-1] == first_d[1:], jnp.zeros((1,), jnp.bool_)]
+    )
+    inf_r = cops.infinity_like(acc)
+    val = JacobianPoint(
+        o.select(cont, acc.x, inf_r.x),
+        o.select(cont, acc.y, inf_r.y),
+        o.select(cont, acc.z, inf_r.z),
+    )
+    key = jnp.where(cont, last_d.astype(jnp.int32), jnp.int32(num_buckets))
+    heads_b = jnp.concatenate([jnp.ones((1,), jnp.bool_), key[1:] != key[:-1]])
+    scanned = S.seg_scan(cops, val, heads_b)
+    ends_b = jnp.concatenate([key[1:] != key[:-1], jnp.ones((1,), jnp.bool_)])
+    idx_b = jnp.where(ends_b, key, jnp.int32(num_buckets) + lane_ids)
+    return JacobianPoint(
+        binf.x.at[..., idx_b].set(scanned.x, mode="drop"),
+        binf.y.at[..., idx_b].set(scanned.y, mode="drop"),
+        binf.z.at[..., idx_b].set(scanned.z, mode="drop"),
+    )
+
+
+def _sorted_layout(digits: jnp.ndarray, steps: int):
+    """Sort digits; return (perm, d_t, head, end) in the chunk-transposed
+    (K, R) layout: element [k, j] = sorted[j*K + k]."""
+    n = digits.shape[-1]
+    lanes = n // steps
+    order = jnp.argsort(digits)
+    d_sorted = jnp.take(digits, order)
+    perm = order.reshape(lanes, steps).T.reshape(-1)
+    d_t = d_sorted.reshape(lanes, steps).T  # (K, R)
+    big = jnp.asarray(jnp.iinfo(d_t.dtype).max, d_t.dtype)
+    prev = jnp.concatenate([jnp.full((1, lanes), big, d_t.dtype), d_t[:-1]])
+    head = d_t != prev  # run restarts (k==0 or digit change)
+    next_last = jnp.concatenate([d_t[0, 1:], jnp.full((1,), big, d_t.dtype)])
+    nxt = jnp.concatenate([d_t[1:], next_last[None]])
+    end = d_t != nxt  # true segment ends in global sorted order
+    return perm, d_t, head, end
+
+
+def _bucket_template(cops: C.CurveOps, points: JacobianPoint, num_buckets: int):
+    def tmpl(a):
+        return jnp.zeros((*a.shape[:-1], num_buckets), a.dtype)
+
+    return cops.infinity_like(
+        JacobianPoint(tmpl(points.x), tmpl(points.y), tmpl(points.z))
+    )
+
+
+def _bucket_sums_fused(
+    cops: C.CurveOps,
+    digits: jnp.ndarray,
+    points: JacobianPoint,
+    num_buckets: int,
+    steps: int,
+) -> JacobianPoint:
+    """Fused-kernel bucket accumulation: the whole K-step column loop runs
+    as ONE Pallas kernel emitting the post-step accumulator stream; run ends
+    scatter to their buckets in a single drop-mode scatter."""
+    n = digits.shape[-1]
+    lanes = n // steps
+    perm, d_t, head, end = _sorted_layout(digits, steps)
+
+    def gather_kt(a):
+        taken = jnp.take(a, perm, axis=-1)
+        chunked = taken.reshape(*a.shape[:-1], steps, lanes)
+        return jnp.moveaxis(chunked, -2, 0)  # (K, *E, R)
+
+    px, py = gather_kt(points.x), gather_kt(points.y)
+    qinf = jnp.take(
+        cops.is_infinity(points).astype(jnp.int32), perm
+    ).reshape(steps, lanes)
+    ox, oy, oz = cops.run_columns(px, py, qinf, head)
+
+    binf = _bucket_template(cops, points, num_buckets)
+    idx = jnp.where(
+        end, d_t.astype(jnp.int32), jnp.int32(num_buckets)
+    ).reshape(-1)
+
+    def flat(a):  # (K, *E, R) -> (*E, K*R)
+        return jnp.moveaxis(a, 0, -2).reshape(*a.shape[1:-1], steps * lanes)
+
+    buckets_a = JacobianPoint(
+        binf.x.at[..., idx].set(flat(ox), mode="drop"),
+        binf.y.at[..., idx].set(flat(oy), mode="drop"),
+        binf.z.at[..., idx].set(flat(oz), mode="drop"),
+    )
+    acc_last = JacobianPoint(ox[-1], oy[-1], oz[-1])
+    buckets_b = _fold_partials(cops, acc_last, d_t, binf, num_buckets)
+    return cops.add(buckets_a, buckets_b)
+
+
 def _bucket_sums(
     cops: C.CurveOps,
     digits: jnp.ndarray,
@@ -150,13 +357,11 @@ def _bucket_sums(
     steps = min(column_steps, n)
     lanes = n // steps
     assert lanes * steps == n
+    if _fused(cops) and not unroll and lanes % 128 == 0:
+        return _bucket_sums_fused(cops, digits, points, num_buckets, steps)
     o = cops.ops
 
-    order = jnp.argsort(digits)
-    d_sorted = jnp.take(digits, order)
-    # chunk-contiguous transposed layout: element [k, j] = sorted[j*K + k]
-    perm = order.reshape(lanes, steps).T.reshape(-1)
-    d_t = d_sorted.reshape(lanes, steps).T  # (K, R)
+    perm, d_t, head, end = _sorted_layout(digits, steps)
 
     def gather_t(a):
         taken = jnp.take(a, perm, axis=-1)
@@ -164,30 +369,13 @@ def _bucket_sums(
 
     px, py, pz = gather_t(points.x), gather_t(points.y), gather_t(points.z)
 
-    big = jnp.asarray(jnp.iinfo(d_t.dtype).max, d_t.dtype)
-    prev = jnp.concatenate([jnp.full((1, lanes), big, d_t.dtype), d_t[:-1]])
-    head = d_t != prev  # run restarts (k==0 or digit change)
-    next_last = jnp.concatenate([d_t[0, 1:], jnp.full((1,), big, d_t.dtype)])
-    nxt = jnp.concatenate([d_t[1:], next_last[None]])
-    end = d_t != nxt  # true segment ends in global sorted order
-
     lane_ids = jnp.arange(lanes, dtype=jnp.int32)
     acc0 = cops.infinity_like(
         JacobianPoint(
             px[..., 0, :] * 0, py[..., 0, :] * 0, pz[..., 0, :] * 0
         )
     )
-
-    def bucket_template(a):
-        return jnp.zeros((*a.shape[:-1], num_buckets), a.dtype)
-
-    binf = cops.infinity_like(
-        JacobianPoint(
-            bucket_template(points.x),
-            bucket_template(points.y),
-            bucket_template(points.z),
-        )
-    )
+    binf = _bucket_template(cops, points, num_buckets)
 
     def step(k, carry):
         ax, ay, az, bx, by, bz = carry
@@ -222,31 +410,8 @@ def _bucket_sums(
         carry = jax.lax.fori_loop(0, steps, step, init)
     ax, ay, az, bx, by, bz = carry
     buckets_a = JacobianPoint(bx, by, bz)
-
-    # trailing partials: chunk j's last run continues into chunk j+1 iff the
-    # digit matches across the boundary; fold equal-key (ascending, adjacent)
-    # partials with one segmented scan, scatter group totals at unique slots.
-    last_d = d_t[-1]
-    first_d = d_t[0]
-    cont = jnp.concatenate(
-        [last_d[:-1] == first_d[1:], jnp.zeros((1,), jnp.bool_)]
-    )
-    acc = JacobianPoint(ax, ay, az)
-    inf_r = cops.infinity_like(acc)
-    val = JacobianPoint(
-        o.select(cont, acc.x, inf_r.x),
-        o.select(cont, acc.y, inf_r.y),
-        o.select(cont, acc.z, inf_r.z),
-    )
-    key = jnp.where(cont, last_d.astype(jnp.int32), jnp.int32(num_buckets))
-    heads_b = jnp.concatenate([jnp.ones((1,), jnp.bool_), key[1:] != key[:-1]])
-    scanned = S.seg_scan(cops, val, heads_b)
-    ends_b = jnp.concatenate([key[1:] != key[:-1], jnp.ones((1,), jnp.bool_)])
-    idx_b = jnp.where(ends_b, key, jnp.int32(num_buckets) + lane_ids)
-    buckets_b = JacobianPoint(
-        binf.x.at[..., idx_b].set(scanned.x, mode="drop"),
-        binf.y.at[..., idx_b].set(scanned.y, mode="drop"),
-        binf.z.at[..., idx_b].set(scanned.z, mode="drop"),
+    buckets_b = _fold_partials(
+        cops, JacobianPoint(ax, ay, az), d_t, binf, num_buckets
     )
     return cops.add(buckets_a, buckets_b)
 
@@ -258,6 +423,8 @@ def msm(
     window_bits: int = DEFAULT_WINDOW_BITS,
     unroll: bool = False,
     column_steps: int = DEFAULT_COLUMN_STEPS,
+    scalar_bits: int = 0,
+    signed: bool = True,
 ) -> JacobianPoint:
     """sum_i scalars[i] * points[i].
 
@@ -266,11 +433,13 @@ def msm(
     produced by `encode_points`/`to_affine`; required by the mixed-add
     bucket accumulation). Returns a single-lane Jacobian point.
 
-    `unroll=True` replaces the fori_loops with Python loops: used for
-    op-by-op eager execution (tests) where compiling the rolled graph is
-    not worth it.
+    `signed` uses signed window recoding (half the buckets, and with
+    `scalar_bits` set, ceil(bits/c) windows instead of ceil(272/c) — e.g.
+    16 instead of 21 for BLS12-381 Fr at c=16). `unroll=True` replaces the
+    fori_loops with Python loops: used for op-by-op eager execution
+    (tests) where compiling the rolled graph is not worth it.
     """
-    num_buckets = 1 << window_bits
+    num_buckets = (1 << (window_bits - 1)) + 1 if signed else 1 << window_bits
     n = points.x.shape[-1]
     if scalars.shape[-1] != n:
         raise ValueError(
@@ -292,24 +461,44 @@ def msm(
         points = JacobianPoint(
             pad_c(points.x, inf.x), pad_c(points.y, inf.y), pad_c(points.z, inf.z)
         )
-    digits = window_digits(scalars, window_bits)  # (W, n2)
+    o = cops.ops
+    if signed:
+        digits, negs, _ = window_digits_signed(
+            scalars, window_bits, scalar_bits
+        )
+        y_neg = o.neg(points.y)
+    else:
+        digits = window_digits(scalars, window_bits)  # (W, n2)
+        negs = None
     num_windows = digits.shape[0]
 
-    def one_window(d):
-        buckets = _bucket_sums(cops, d, points, num_buckets, steps, unroll)
+    def one_window(d, neg=None):
+        pts = points
+        if neg is not None:
+            pts = JacobianPoint(
+                points.x, o.select(neg, y_neg, points.y), points.z
+            )
+        buckets = _bucket_sums(cops, d, pts, num_buckets, steps, unroll)
+        if signed:
+            return _weighted_reduce_signed(cops, buckets, window_bits)
         return _weighted_reduce(cops, buckets, window_bits)
 
+    def window_args(w):
+        return (digits[w], negs[w]) if signed else (digits[w],)
+
     if unroll:
-        acc = one_window(digits[num_windows - 1])
+        acc = one_window(*window_args(num_windows - 1))
         for w in range(num_windows - 2, -1, -1):
             for _ in range(window_bits):
                 acc = cops.double(acc)
-            acc = cops.add(acc, one_window(digits[w]))
+            acc = cops.add(acc, one_window(*window_args(w)))
         return acc
 
     def window_body(i, carry):
         wx, wy, wz = carry
-        res = one_window(digits[i])
+        res = one_window(
+            digits[i], negs[i] if signed else None
+        )
         return (
             jax.lax.dynamic_update_index_in_dim(wx, res.x, i, 0),
             jax.lax.dynamic_update_index_in_dim(wy, res.y, i, 0),
@@ -349,7 +538,7 @@ def msm(
     return JacobianPoint(*result)
 
 
-msm_jit = jax.jit(msm, static_argnums=(0, 3, 4, 5))
+msm_jit = jax.jit(msm, static_argnums=(0, 3, 4, 5, 6, 7))
 
 
 def msm_host_oracle(curve, scalars, points):

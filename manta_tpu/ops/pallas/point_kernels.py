@@ -1,0 +1,462 @@
+"""Fused Pallas TPU kernels for elliptic-curve point operations.
+
+Round-1 measured the MSM spending ~2.2x its pure-multiply floor on
+plumbing: every field op in a point addition was its own `pallas_call`, so
+each complete add made ~21 HBM round trips of every intermediate. These
+kernels keep the WHOLE point formula (all ~11 Montgomery muls of a mixed
+add plus the branchless edge-case dispatch) register/VMEM-resident inside
+one kernel, and go one level further for the MSM hot loop: the entire
+K-step sequential-column bucket accumulation (`manta_tpu.ops.msm`) runs as
+ONE kernel with the running accumulator carried in VMEM scratch across the
+sequential grid.
+
+Design notes:
+- The point formulas are NOT re-written here. `_KernelCurve` reuses
+  `manta_tpu.ops.curve.CurveOps`'s add/madd/double/_add_dispatch verbatim by
+  swapping in `_KernelCoordOps`/`_KernelFq2Ops`: the same CoordOps interface
+  implemented with in-register limb arithmetic (constants baked as Python
+  ints — Pallas TPU kernels cannot capture array constants).
+- The doubling branch of the edge dispatch stays behind `jax.lax.cond` on a
+  block-level `any(is_dbl)`, so batches with no coincident lanes (the
+  common case: distinct points, random scalars) skip its ~8-multiply cost.
+- Everything stays in the lazy [0, 2p) Montgomery domain of
+  `manta_tpu.ops.field_ops`, so fused and unfused ops interoperate freely.
+
+Replaces the per-op hot path of the reference's `ark_ec` group arithmetic
+(reference `manta-benchmark/src/ecc.rs:60-128`, `ark_ec::msm` as used by
+`manta-crypto/src/arkworks/groth16.rs:589`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from manta_tpu import fields
+from manta_tpu.fields import LIMB_BITS, LIMB_MASK, FieldSpec
+from manta_tpu.ops import curve as C
+from manta_tpu.ops.curve import JacobianPoint
+from manta_tpu.ops.pallas.field_kernels import _school_redc
+from manta_tpu.utils import hostmath
+
+MASK = LIMB_MASK
+BASE = 1 << LIMB_BITS
+
+LANE_BLOCK = 512  # lanes per grid step for single-op kernels
+COLUMN_LANE_BLOCK = 256  # R-lanes per grid step for the column kernel
+COLUMN_STEP_BLOCK = 8  # K-steps per grid step for the column kernel
+
+
+@functools.lru_cache(maxsize=1)
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU (CPU tests / virtual meshes)."""
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:  # noqa: BLE001
+        return True
+
+
+def _limbs_of(value: int, count: int):
+    return [(value >> (LIMB_BITS * i)) & LIMB_MASK for i in range(count)]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel field ops (CoordOps interface over register-resident arrays)
+# ---------------------------------------------------------------------------
+
+
+class _KernelCoordOps:
+    """Limb-major field ops on (L, ...) arrays inside a Pallas kernel.
+
+    Same algorithms and lazy [0, 2p) domain as `manta_tpu.ops.field_ops`,
+    with every constant a Python-int immediate.
+    """
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        L = spec.num_limbs
+        self._p_limbs = _limbs_of(spec.modulus, L)
+        self._two_p_limbs = _limbs_of(2 * spec.modulus, L)
+        self._one_limbs = _limbs_of(spec.R % spec.modulus, L)
+
+    # -- ring ops --
+
+    def mul(self, a, b):
+        return _school_redc(self.spec, a, b)
+
+    def sqr(self, a):
+        return _school_redc(self.spec, a, a)
+
+    def add(self, a, b):
+        L = self.spec.num_limbs
+        outs, carry = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = a[i] + b[i] + carry
+            outs.append(t & MASK)
+            carry = t >> LIMB_BITS
+        diff, borrow = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = outs[i] + (BASE - self._two_p_limbs[i]) - borrow
+            diff.append(t & MASK)
+            borrow = jnp.uint32(1) - (t >> LIMB_BITS)
+        ge = jnp.logical_or(borrow == 0, carry != 0)
+        return jnp.where(ge, jnp.stack(diff), jnp.stack(outs))
+
+    def sub(self, a, b):
+        L = self.spec.num_limbs
+        outs, borrow = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = a[i] + BASE - b[i] - borrow
+            outs.append(t & MASK)
+            borrow = jnp.uint32(1) - (t >> LIMB_BITS)
+        plus, carry = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = outs[i] + self._two_p_limbs[i] + carry
+            plus.append(t & MASK)
+            carry = t >> LIMB_BITS
+        return jnp.where(borrow != 0, jnp.stack(plus), jnp.stack(outs))
+
+    def neg(self, a):
+        return self.sub(self.zeros_like(a), a)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def triple(self, a):
+        return self.add(self.add(a, a), a)
+
+    # -- predicates / selection --
+
+    def is_zero(self, a):
+        L = self.spec.num_limbs
+        z = a[0] == 0
+        e = a[0] == self._p_limbs[0]
+        for i in range(1, L):
+            z = jnp.logical_and(z, a[i] == 0)
+            e = jnp.logical_and(e, a[i] == self._p_limbs[i])
+        return jnp.logical_or(z, e)
+
+    def eq(self, a, b):
+        return self.is_zero(self.sub(a, b))
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None, ...], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return jnp.stack(
+            [jnp.full_like(a[0], v) for v in self._one_limbs]
+        )
+
+
+class _KernelFq2Ops:
+    """Fq[u]/(u^2+1) over stacked (2, L, ...) arrays inside a kernel."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.base = _KernelCoordOps(spec)
+
+    def add(self, a, b):
+        return jnp.stack([self.base.add(a[0], b[0]), self.base.add(a[1], b[1])])
+
+    def sub(self, a, b):
+        return jnp.stack([self.base.sub(a[0], b[0]), self.base.sub(a[1], b[1])])
+
+    def neg(self, a):
+        return jnp.stack([self.base.neg(a[0]), self.base.neg(a[1])])
+
+    def mul(self, a, b):
+        t0 = self.base.mul(a[0], b[0])
+        t1 = self.base.mul(a[1], b[1])
+        s = self.base.mul(self.base.add(a[0], a[1]), self.base.add(b[0], b[1]))
+        return jnp.stack(
+            [self.base.sub(t0, t1), self.base.sub(self.base.sub(s, t0), t1)]
+        )
+
+    def sqr(self, a):
+        t = self.base.mul(self.base.add(a[0], a[1]), self.base.sub(a[0], a[1]))
+        return jnp.stack([t, self.base.double(self.base.mul(a[0], a[1]))])
+
+    def double(self, a):
+        return jnp.stack([self.base.double(a[0]), self.base.double(a[1])])
+
+    def triple(self, a):
+        return jnp.stack([self.base.triple(a[0]), self.base.triple(a[1])])
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.base.is_zero(a[0]), self.base.is_zero(a[1]))
+
+    def eq(self, a, b):
+        return jnp.logical_and(self.base.eq(a[0], b[0]), self.base.eq(a[1], b[1]))
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None, None, ...], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return jnp.stack([self.base.one_like(a[0]), self.base.zeros_like(a[1])])
+
+
+@dataclasses.dataclass(frozen=True)
+class _KernelCurve(C.CurveOps):
+    """CurveOps whose coordinate ops run in-register inside a kernel.
+
+    Reuses the parent's point formulas (`add`/`madd`/`double` and the
+    branchless `_add_dispatch`) unchanged.
+    """
+
+    @functools.cached_property
+    def ops(self):
+        spec = self.curve.field
+        return _KernelFq2Ops(spec) if self.curve.is_ext else _KernelCoordOps(spec)
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_curve(curve: hostmath.WeierstrassCurve) -> _KernelCurve:
+    return _KernelCurve(curve, backend="kernel")
+
+
+# ---------------------------------------------------------------------------
+# Single-call point kernels: whole formula in one pallas_call
+# ---------------------------------------------------------------------------
+
+
+def _coord_block_spec(ext: bool, L: int, block: int):
+    if ext:
+        return pl.BlockSpec(
+            (2, L, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+    return pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
+    """Build the fused pallas_call for add/madd/double at n lanes."""
+    kc = _kernel_curve(curve)
+    L = curve.field.num_limbs
+    ext = curve.is_ext
+    n_in = {"add": 6, "madd": 6, "double": 3}[which]
+
+    def kernel(*refs):
+        ins, outs = refs[:n_in], refs[n_in:]
+        p = JacobianPoint(ins[0][...], ins[1][...], ins[2][...])
+        if which == "double":
+            r = kc.double(p)
+        else:
+            q = JacobianPoint(ins[3][...], ins[4][...], ins[5][...])
+            r = kc.add(p, q) if which == "add" else kc.madd(p, q)
+        outs[0][...] = r.x
+        outs[1][...] = r.y
+        outs[2][...] = r.z
+
+    block = min(LANE_BLOCK, n)
+    assert n % block == 0
+    cspec = _coord_block_spec(ext, L, block)
+    shape = (2, L, n) if ext else (L, n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, jnp.uint32) for _ in range(3)
+        ),
+        grid=(n // block,),
+        in_specs=[cspec] * n_in,
+        out_specs=tuple([cspec] * 3),
+        interpret=_interpret(),
+    )
+
+
+def _flatten_lanes(curve, pt: JacobianPoint):
+    """(*E, batch...) -> (*E, n) with n padded to a 128 multiple.
+
+    Padding lanes are zero == the (0, 0, 0) pseudo-point, which the complete
+    formulas treat as infinity (Z = 0); they are sliced off afterwards.
+    """
+    lead = 2 if curve.is_ext else 1
+    batch_shape = pt.x.shape[lead:]
+    n = 1
+    for d in batch_shape:
+        n *= d
+    n_pad = max(128, -(-n // 128) * 128)
+
+    def prep(a):
+        flat = a.reshape(*a.shape[:lead], n)
+        if n_pad != n:
+            pad = jnp.zeros((*a.shape[:lead], n_pad - n), jnp.uint32)
+            flat = jnp.concatenate([flat, pad], axis=-1)
+        return flat
+
+    return (
+        JacobianPoint(prep(pt.x), prep(pt.y), prep(pt.z)),
+        batch_shape,
+        n,
+        n_pad,
+    )
+
+
+def _unflatten_lanes(curve, arrs, batch_shape, n):
+    lead = 2 if curve.is_ext else 1
+
+    def post(a):
+        return a[..., :n].reshape(*a.shape[:lead], *batch_shape)
+
+    return JacobianPoint(post(arrs[0]), post(arrs[1]), post(arrs[2]))
+
+
+def fused_add(curve, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+    pf, bshape, n, n_pad = _flatten_lanes(curve, p)
+    qf, _, _, _ = _flatten_lanes(curve, q)
+    out = _point_op(curve, "add", n_pad)(*pf, *qf)
+    return _unflatten_lanes(curve, out, bshape, n)
+
+
+def fused_madd(curve, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+    pf, bshape, n, n_pad = _flatten_lanes(curve, p)
+    qf, _, _, _ = _flatten_lanes(curve, q)
+    out = _point_op(curve, "madd", n_pad)(*pf, *qf)
+    return _unflatten_lanes(curve, out, bshape, n)
+
+
+def fused_double(curve, p: JacobianPoint) -> JacobianPoint:
+    pf, bshape, n, n_pad = _flatten_lanes(curve, p)
+    out = _point_op(curve, "double", n_pad)(*pf)
+    return _unflatten_lanes(curve, out, bshape, n)
+
+
+# ---------------------------------------------------------------------------
+# Fused MSM column kernel: the whole K-step bucket accumulation in one call
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
+    """Build the sequential-column accumulation kernel.
+
+    Inputs (XLA-side):
+      px, py: (K, *E, R) gathered sorted affine point coordinates
+      qinf:   (K, R) int32, 1 where the gathered point is infinity
+      head:   (K, R) int32, 1 where a new digit run starts
+    Outputs: ox, oy, oz: (K, *E, R) — the running accumulator AFTER each
+    step (run ends are picked out and scattered to buckets by the caller).
+
+    Grid: (R/Rb, K/Kb), K-blocks innermost (sequential); the accumulator is
+    carried across K-blocks in VMEM scratch, re-initialized at k-block 0.
+    """
+    kc = _kernel_curve(curve)
+    L = curve.field.num_limbs
+    ext = curve.is_ext
+    Rb = min(COLUMN_LANE_BLOCK, R)
+    Kb = min(COLUMN_STEP_BLOCK, K)
+    assert R % Rb == 0 and K % Kb == 0
+    edims = (2, L) if ext else (L,)
+
+    coord_spec = pl.BlockSpec(
+        (Kb, *edims, Rb),
+        (lambda r, k: (k, 0, 0, r)) if ext else (lambda r, k: (k, 0, r)),
+        memory_space=pltpu.VMEM,
+    )
+    mask_spec = pl.BlockSpec(
+        (Kb, Rb), lambda r, k: (k, r), memory_space=pltpu.VMEM
+    )
+
+    def kernel(px, py, qinf, head, ox, oy, oz, sx, sy, sz):
+        o = kc.ops
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _():
+            # accumulator starts at infinity: (0, 1, 0)
+            sx[...] = jnp.zeros_like(sx)
+            sy[...] = o.one_like(sy[...])
+            sz[...] = jnp.zeros_like(sz)
+
+        def body(j, carry):
+            acc = JacobianPoint(*carry)
+            qx = px[j]
+            qy = py[j]
+            q_is_inf = qinf[j] != 0
+            one = o.one_like(qx)
+            qz = o.select(q_is_inf, o.zeros_like(qx), one)
+            qy_fixed = o.select(q_is_inf, one, qy)
+            q = JacobianPoint(qx, qy_fixed, qz)
+            added = kc.madd(acc, q)
+            h = head[j] != 0
+            acc = JacobianPoint(
+                o.select(h, q.x, added.x),
+                o.select(h, q.y, added.y),
+                o.select(h, q.z, added.z),
+            )
+            ox[j] = acc.x
+            oy[j] = acc.y
+            oz[j] = acc.z
+            return tuple(acc)
+
+        acc0 = (sx[...], sy[...], sz[...])
+        accx, accy, accz = jax.lax.fori_loop(0, Kb, body, acc0)
+        sx[...] = accx
+        sy[...] = accy
+        sz[...] = accz
+
+    shape = (K, *edims, R)
+    scratch = [pltpu.VMEM((*edims, Rb), jnp.uint32) for _ in range(3)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, jnp.uint32) for _ in range(3)
+        ),
+        grid=(R // Rb, K // Kb),
+        in_specs=[coord_spec, coord_spec, mask_spec, mask_spec],
+        out_specs=tuple([coord_spec] * 3),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )
+
+
+def accumulate_columns(curve, px, py, qinf, head):
+    """Run the fused K-step column accumulation. See `_column_call`."""
+    K = px.shape[0]
+    R = px.shape[-1]
+    return _column_call(curve, K, R)(
+        px, py, qinf.astype(jnp.int32), head.astype(jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused curve-ops backend
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedCurveOps(C.CurveOps):
+    """CurveOps whose group law runs as fused Pallas kernels.
+
+    `ops` stays the standard XLA-level CoordOps (select/is_zero/batch_inv
+    for the surrounding machinery); add/madd/double dispatch whole-formula
+    kernels. The MSM layer additionally detects `run_columns` and fuses the
+    entire bucket-accumulation loop.
+    """
+
+    def add(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        return fused_add(self.curve, p, q)
+
+    def madd(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
+        return fused_madd(self.curve, p, q)
+
+    def double(self, p: JacobianPoint) -> JacobianPoint:
+        return fused_double(self.curve, p)
+
+    def run_columns(self, px, py, qinf, head):
+        return accumulate_columns(self.curve, px, py, qinf, head)
+
+
+@functools.lru_cache(maxsize=None)
+def fused_curve_ops_for(curve: hostmath.WeierstrassCurve) -> FusedCurveOps:
+    return FusedCurveOps(curve, backend="fused")

@@ -1,0 +1,112 @@
+"""Fused Pallas point-kernel correctness (interpret mode on CPU).
+
+Verifies the whole-formula kernels (`manta_tpu.ops.pallas.point_kernels`)
+against host big-int ground truth, including the branchless edge cases and
+the fused MSM column accumulation.
+"""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from manta_tpu.ops import curve as C
+from manta_tpu.ops import msm as M
+from manta_tpu.ops.curve import JacobianPoint
+from manta_tpu.ops.pallas import point_kernels as PK
+from manta_tpu.utils import hostmath
+
+
+def _host_points(curve, ks):
+    return [
+        None if k == 0 else curve.scalar_mul(k, curve.generator) for k in ks
+    ]
+
+
+@pytest.fixture(scope="module")
+def g1():
+    return PK.fused_curve_ops_for(hostmath.BLS12_381_G1)
+
+
+class TestFusedPointOps:
+    def test_add_with_edge_cases(self, g1):
+        curve = g1.curve
+        # lanes: generic add, p+inf, inf+q, p+p (double), p+(-p) (infinity)
+        p_ks = [3, 5, 0, 7, 11, 13]
+        q_ks = [4, 0, 6, 7, -11, 17]
+        p_host = _host_points(curve, p_ks)
+        q_host = [
+            None
+            if k == 0
+            else curve.scalar_mul(k % curve.scalar_field.modulus, curve.generator)
+            for k in q_ks
+        ]
+        p = g1.encode_points(p_host)
+        q = g1.encode_points(q_host)
+        got = g1.decode_points(g1.add(p, q))
+        want = [
+            curve.add(a, b) for a, b in zip(p_host, q_host)
+        ]
+        assert got == want
+
+    def test_madd_matches_add(self, g1):
+        curve = g1.curve
+        p_ks = [2, 9, 0, 8, 21]
+        q_ks = [5, 0, 3, 8, -21]
+        p_host = _host_points(curve, p_ks)
+        q_host = [
+            None
+            if k == 0
+            else curve.scalar_mul(k % curve.scalar_field.modulus, curve.generator)
+            for k in q_ks
+        ]
+        p = g1.encode_points(p_host)
+        q = g1.encode_points(q_host)
+        got = g1.decode_points(g1.madd(p, q))
+        want = [curve.add(a, b) for a, b in zip(p_host, q_host)]
+        assert got == want
+
+    def test_double(self, g1):
+        curve = g1.curve
+        ks = [1, 2, 0, 9]
+        host = _host_points(curve, ks)
+        got = g1.decode_points(g1.double(g1.encode_points(host)))
+        assert got == [curve.double(a) for a in host]
+
+    def test_g2_add(self):
+        g2 = PK.fused_curve_ops_for(hostmath.BLS12_381_G2)
+        curve = g2.curve
+        p_host = _host_points(curve, [3, 0, 7])
+        q_host = _host_points(curve, [4, 6, 7])
+        got = g2.decode_points(
+            g2.add(g2.encode_points(p_host), g2.encode_points(q_host))
+        )
+        assert got == [curve.add(a, b) for a, b in zip(p_host, q_host)]
+
+
+class TestFusedMsm:
+    @pytest.mark.parametrize("signed", [False, True], ids=["unsigned", "signed"])
+    def test_msm_matches_host(self, g1, signed):
+        from manta_tpu.ops import field_ops as F
+
+        curve = g1.curve
+        rng = random.Random(7)
+        n = 256
+        base_ks = [rng.randrange(1, curve.scalar_field.modulus) for _ in range(32)]
+        ks = [base_ks[i % 32] for i in range(n)]
+        points = _host_points(curve, ks)
+        # a couple of infinity points exercise the qinf path
+        points[5] = None
+        points[200] = None
+        scalars = [rng.randrange(curve.scalar_field.modulus) for _ in range(n)]
+        sc = jnp.asarray(
+            F.encode_ints(curve.scalar_field, scalars, montgomery=False)
+        )
+        pts = g1.encode_points(points)
+        # column_steps=2 -> 128 lanes: engages the fused column kernel
+        out = M.msm_jit(
+            g1, sc, pts, 13, False, 2, curve.scalar_field.bits, signed
+        )
+        got = g1.decode_points(out)[0]
+        want = curve.msm(scalars, points)
+        assert got == want
