@@ -10,10 +10,20 @@ SURVEY.md §2.9#4). Domain conventions match arkworks exactly:
 - `coset_*` variants evaluate on the coset g·ω^i with g the field's
   multiplicative generator (arkworks' `coset_fft`).
 
-Implementation: decimation-in-time butterflies after a bit-reversal gather;
-each of the log2(n) stages is one lane-parallel Montgomery multiply of half
-the array by precomputed (Montgomery-form) twiddles plus an add/sub pair —
-shapes are static so XLA fuses each stage into a couple of fused loops.
+Implementation: constant-geometry decimation-in-time after a bit-reversal
+gather. Every stage works on identically-shaped (L, ..., n) arrays — one
+XOR-partner gather, one full-width Montgomery multiply by a per-stage
+twiddle row, one add/sub/select — so the whole stage sweep is a SINGLE
+`lax.fori_loop` body indexing stacked (stages, n) permutation/twiddle
+tables. The rolled loop keeps the compiled graph size independent of
+log2(n): the production Groth16 domains (2^13-2^16, 13-16 stages of
+~1000-op big-int multiplies each) would otherwise unroll into multi-minute
+XLA compiles on both CPU and TPU.
+
+(The constant-geometry form multiplies all n lanes instead of n/2 — 2x the
+VPU multiply work of the half-width form — but the NTT is a small slice of
+the prover next to its MSMs, and compile time was the binding constraint.)
+
 Works on (L, ..., n): the transform runs along the LAST axis, any axes in
 between are batch (e.g. many polynomials at once).
 """
@@ -41,20 +51,35 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_twiddles(spec: FieldSpec, n: int, inverse: bool):
-    """Montgomery-form twiddle arrays w_{2^s}^j, j < 2^(s-1), per stage."""
+def _stage_tables(spec: FieldSpec, n: int, inverse: bool):
+    """Stacked per-stage tables for the constant-geometry sweep.
+
+    Returns (partner, hi_bit, tw):
+      partner (S, n) int32 — XOR-partner lane index per stage,
+      hi_bit  (S, n) uint32 — 1 where the lane is the high half of its pair,
+      tw      (S, L, n) uint32 — Montgomery twiddle w_{2^s}^(j mod 2^(s-1))
+                                 broadcast to every lane of the pair.
+    """
     omega = spec.root_of_unity(n)
     if inverse:
         omega = pow(omega, -1, spec.modulus)
-    out = []
-    for s in range(1, n.bit_length()):
-        m = 1 << s
-        w = pow(omega, n // m, spec.modulus)
-        tw = [1] * (m // 2)
-        for j in range(1, m // 2):
-            tw[j] = tw[j - 1] * w % spec.modulus
-        out.append(F.encode_ints(spec, tw))  # (L, m//2) Montgomery
-    return out
+    S = n.bit_length() - 1
+    j = np.arange(n)
+    partners, hi_bits, tws = [], [], []
+    for s in range(1, S + 1):
+        half = 1 << (s - 1)
+        partners.append((j ^ half).astype(np.int32))
+        hi_bits.append(((j & half) != 0).astype(np.uint32))
+        w = pow(omega, n >> s, spec.modulus)
+        pw = [1] * half
+        for k in range(1, half):
+            pw[k] = pw[k - 1] * w % spec.modulus
+        tws.append(np.asarray(F.encode_ints(spec, [pw[v] for v in (j & (half - 1))])))
+    return (
+        np.stack(partners),
+        np.stack(hi_bits),
+        np.stack(tws),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -77,20 +102,24 @@ def ntt(spec: FieldSpec, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     perm = jnp.asarray(_bit_reverse_perm(n))
     x = jnp.take(a, perm, axis=-1)
     batch_rank = x.ndim - 2  # axes between L and n
-    for s, tw in enumerate(_stage_twiddles(spec, n, inverse), start=1):
-        m = 1 << s
-        half = m // 2
-        shape = (*x.shape[:-1], n // m, 2, half)
-        xr = x.reshape(shape)
-        u = xr[..., 0, :]
-        v = xr[..., 1, :]
-        twd = jnp.asarray(tw).reshape(
-            (spec.num_limbs,) + (1,) * batch_rank + (1, half)
-        )
-        vw = F.mont_mul(spec, v, twd)
-        x = jnp.stack(
-            [F.add(spec, u, vw), F.sub(spec, u, vw)], axis=-2
-        ).reshape(*a.shape)
+    partner, hi_bit, tw = _stage_tables(spec, n, inverse)
+    partner = jnp.asarray(partner)
+    bshape = (1,) * batch_rank
+    hi_bit = jnp.asarray(hi_bit).reshape(len(hi_bit), *bshape, n)
+    tw = jnp.asarray(tw).reshape(
+        tw.shape[0], spec.num_limbs, *bshape, n
+    )
+
+    def stage(s, x):
+        xp = jnp.take(x, partner[s], axis=-1)
+        hi = hi_bit[s]
+        # per-lane views of the pair: lo = x[j & ~half], hi_v = x[j | half]
+        lo = jnp.where(hi, xp, x)
+        hi_v = jnp.where(hi, x, xp)
+        v = F.mont_mul(spec, hi_v, tw[s])
+        return jnp.where(hi, F.sub(spec, lo, v), F.add(spec, lo, v))
+
+    x = jax.lax.fori_loop(0, partner.shape[0], stage, x)
     if inverse:
         n_inv = F.const(spec, pow(n, -1, spec.modulus))
         x = F.mont_mul(
