@@ -22,7 +22,7 @@ surface).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from manta_tpu.protocol import circuits as TC
 from manta_tpu.protocol import config as CFG
@@ -41,6 +41,17 @@ class OwnedCoin:
     index: int
     nullifier: int
     spent: bool = False
+
+
+class InconsistencyError(Exception):
+    """Ledger/signer state desynchronization (reference `wallet/mod.rs:725`):
+    the ledger's answer contradicts locally tracked state. Recoverable by
+    `Wallet.recover()` (reset balances + full resync), mirroring the
+    reference's documented recovery procedure."""
+
+    def __init__(self, kind: str, detail: str = ""):
+        super().__init__(f"{kind}: {detail}" if detail else kind)
+        self.kind = kind
 
 
 class Signer:
@@ -64,9 +75,19 @@ class Signer:
         )
         self.viewing_key = self.context.compute_viewing_key(cfg)
         self.address = self.context.compute_receiving_key(cfg)
-        self.forest = MK.MerkleForest(cfg)
+        # pruned accumulator: provable paths only for owned coins
+        # (reference `merkle_tree/partial.rs:60`, `functions.rs:147-209`)
+        self.forest = MK.MerkleForest(cfg, prune=True)
         self.coins: List[OwnedCoin] = []
+        # indexed spent-detection (reference `signer/nullifier_map.rs`):
+        # nullifier -> OwnedCoin, O(1) per ledger nullifier instead of a
+        # linear scan over all owned coins
+        self.nullifier_map: Dict[int, OwnedCoin] = {}
         self.checkpoint = L.Checkpoint.origin(cfg)
+
+    def _track(self, coin: OwnedCoin) -> None:
+        self.coins.append(coin)
+        self.nullifier_map[coin.nullifier] = coin
 
     # -- sync (reference functions.rs:210 sync_with) --
 
@@ -76,18 +97,27 @@ class Signer:
         diff = ledger.pull(self.checkpoint)
         deltas: Dict[int, int] = {}
         for shard, entries in sorted(diff["receivers"].items()):
+            tree = self.forest.shard(shard)
+            # keep the forest in sync with the global accumulator; entries
+            # inserted speculatively while building batched transactions are
+            # verified instead of re-inserted. New items append in one
+            # device-batched extend (the sync hot loop, functions.rs:210).
+            new_items = []
             for e in entries:
-                # keep the forest in sync with the global accumulator;
-                # entries inserted speculatively while building batched
-                # transactions are verified instead of re-inserted
-                tree = self.forest.shard(shard)
                 if len(tree) > e["index"]:
-                    assert tree.leaves[e["index"]] == e["item"], (
-                        "speculative forest diverged from ledger"
-                    )
+                    if tree.leaf_value(e["index"]) != e["item"]:
+                        raise InconsistencyError(
+                            "accumulator",
+                            "speculative forest diverged from ledger",
+                        )
                 else:
-                    idx = tree.insert(e["item"])
-                    assert idx == e["index"], "shard log out of order"
+                    if e["index"] != len(tree) + len(new_items):
+                        raise InconsistencyError(
+                            "accumulator", "shard log out of order"
+                        )
+                    new_items.append(e["item"])
+            tree.extend(new_items, provable=())
+            for e in entries:
                 pt = N.decrypt_incoming(self.cfg, self.viewing_key, e["note"])
                 if pt is None or pt.asset.value == 0:
                     continue
@@ -105,7 +135,14 @@ class Signer:
                     self.context.proof_authorization_key,
                     e["item"],
                 )
-                self.coins.append(
+                tree.mark_provable(e["index"])
+                if any(
+                    c.shard == shard and c.index == e["index"]
+                    for c in self.coins
+                ):
+                    # already tracked from a speculative (self-built) post
+                    continue
+                self._track(
                     OwnedCoin(
                         plaintext=pt,
                         shard=shard,
@@ -114,16 +151,34 @@ class Signer:
                     )
                 )
                 deltas[pt.asset.id] = deltas.get(pt.asset.id, 0) + pt.asset.value
+        # drop everything but owned paths + frontier (functions.rs:147-209)
+        self.forest.prune()
         for nullifier in diff["senders"]:
-            for coin in self.coins:
-                if coin.nullifier == nullifier and not coin.spent:
-                    coin.spent = True
-                    deltas[coin.plaintext.asset.id] = (
-                        deltas.get(coin.plaintext.asset.id, 0)
-                        - coin.plaintext.asset.value
-                    )
+            coin = self.nullifier_map.get(nullifier)
+            if coin is not None and not coin.spent:
+                coin.spent = True
+                deltas[coin.plaintext.asset.id] = (
+                    deltas.get(coin.plaintext.asset.id, 0)
+                    - coin.plaintext.asset.value
+                )
         self.checkpoint = diff["checkpoint"]
         return deltas
+
+    def initial_sync(self, ledger: L.Ledger) -> None:
+        """First sync of a FRESH key (reference `functions.rs:1464`): a key
+        created after the ledger's history cannot own any existing coin, so
+        skip all trial decryption and just rebuild the accumulator — every
+        item inserted non-provable in one device-batched extend per shard,
+        then pruned to the frontier."""
+        if self.coins or self.checkpoint != L.Checkpoint.origin(self.cfg):
+            raise InconsistencyError(
+                "initial_sync", "signer already has history"
+            )
+        diff = ledger.pull(self.checkpoint)
+        for shard, entries in sorted(diff["receivers"].items()):
+            self.forest.shard(shard).extend([e["item"] for e in entries])
+        self.forest.prune()
+        self.checkpoint = diff["checkpoint"]
 
     # -- balances / selection (reference asset.rs selection, functions.rs:490) --
 
@@ -254,7 +309,7 @@ class Signer:
                     index=index,
                     nullifier=nullifier,
                 )
-                self.coins.append(new_coin)
+                self._track(new_coin)
         return post, new_coin
 
     def _spend_parts(
@@ -311,6 +366,34 @@ class Signer:
         )
         return pre + [final]
 
+    def consolidate(
+        self, asset_id: int, coins: Optional[List[OwnedCoin]] = None
+    ) -> List[TX.TransferPost]:
+        """Merge owned coins of one asset into a SINGLE coin to self
+        (reference `functions.rs:1303`): chains join-split PrivateTransfers
+        (2-in/2-out: merged + zero) until one coin holds the whole balance.
+        Returns the posts to submit; the signer tracks the merged outputs
+        speculatively, exactly like batched spends."""
+        if coins is None:
+            coins = [
+                c
+                for c in self.coins
+                if not c.spent and c.plaintext.asset.id == asset_id
+            ]
+        if any(
+            c.spent or c.plaintext.asset.id != asset_id for c in coins
+        ):
+            raise ValueError("consolidate: coin spent or wrong asset")
+        if len(coins) < 2:
+            return []
+        posts = []
+        coins = sorted(coins, key=lambda c: c.plaintext.asset.value)
+        while len(coins) > 1:
+            post, joined = self._join_coins(asset_id, coins[0], coins[1])
+            posts.append(post)
+            coins = coins[2:] + [joined]
+        return posts
+
 
 class Wallet:
     """Balance-tracking frontend (reference `wallet/mod.rs:85`)."""
@@ -328,7 +411,25 @@ class Wallet:
     def sync(self):
         deltas = self.signer.sync(self.ledger)
         for asset_id, delta in deltas.items():
-            self.balances[asset_id] = self.balances.get(asset_id, 0) + delta
+            new = self.balances.get(asset_id, 0) + delta
+            if new < 0:
+                # the ledger reported spends exceeding tracked balance —
+                # wallet and signer/ledger views have diverged
+                # (reference `wallet/mod.rs:725` InconsistencyError)
+                raise InconsistencyError(
+                    "balance",
+                    f"asset {asset_id} balance would go negative ({new})",
+                )
+            self.balances[asset_id] = new
+
+    def recover(self):
+        """Reset tracked balances and rebuild from the signer's coin state
+        (the reference's documented response to an InconsistencyError)."""
+        self.balances = {}
+        for coin in self.signer.coins:
+            if not coin.spent:
+                a = coin.plaintext.asset
+                self.balances[a.id] = self.balances.get(a.id, 0) + a.value
 
     def balance(self, asset_id: int) -> int:
         return self.balances.get(asset_id, 0)
@@ -386,7 +487,7 @@ def save_signer_state(signer: Signer, path: str, password: bytes) -> None:
             for c in signer.coins
         ],
         "forest": {
-            str(shard): [hex(leaf) for leaf in tree.leaves]
+            str(shard): tree.to_state()
             for shard, tree in signer.forest.shards.items()
         },
     }
@@ -410,25 +511,27 @@ def load_signer_state(signer: Signer, path: str, password: bytes) -> bool:
         receiver_index=tuple(state["checkpoint"]["receiver_index"]),
         sender_index=state["checkpoint"]["sender_index"],
     )
-    signer.coins = [
-        OwnedCoin(
-            plaintext=NN.IncomingPlaintext(
-                utxo_commitment_randomness=int(c["randomness"], 16),
-                asset=NN.Asset(
-                    id=int(c["asset"][0], 16), value=int(c["asset"][1], 16)
+    signer.coins = []
+    signer.nullifier_map = {}
+    for c in state["coins"]:
+        signer._track(
+            OwnedCoin(
+                plaintext=NN.IncomingPlaintext(
+                    utxo_commitment_randomness=int(c["randomness"], 16),
+                    asset=NN.Asset(
+                        id=int(c["asset"][0], 16), value=int(c["asset"][1], 16)
+                    ),
                 ),
-            ),
-            shard=c["shard"],
-            index=c["index"],
-            nullifier=int(c["nullifier"], 16),
-            spent=c["spent"],
+                shard=c["shard"],
+                index=c["index"],
+                nullifier=int(c["nullifier"], 16),
+                spent=c["spent"],
+            )
         )
-        for c in state["coins"]
-    ]
-    for shard_str, leaves in state["forest"].items():
-        tree = signer.forest.shard(int(shard_str))
-        for leaf in leaves:
-            tree.insert(int(leaf, 16))
+    for shard_str, tree_state in state["forest"].items():
+        signer.forest.shards[int(shard_str)] = MK.ShardTree.from_state(
+            signer.cfg, tree_state
+        )
     return True
 
 

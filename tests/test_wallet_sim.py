@@ -136,3 +136,102 @@ def test_identity_proof_and_transaction_data(shape_keys):
     data = W.transaction_data(signer, post)
     assert len(data) == 1 and data[0][0].asset == N.Asset(2, 60)
     assert W.transaction_data(other, post) == []
+
+
+def test_consolidate(shape_keys):
+    """N owned coins -> 1 via chained join-splits
+    (reference `wallet/signer/functions.rs:1303`)."""
+    ledger = L.Ledger(CFG_T, shape_keys)
+    wallet = W.Wallet(
+        "ivy", W.Signer(CFG_T, shape_keys, 898989, random.Random(8)), ledger
+    )
+    ledger.deposit("ivy", 4, 500)
+    for v in (40, 30, 20, 10):
+        wallet.to_private(N.Asset(4, v))
+    assert wallet.balance(4) == 100
+    unspent = [c for c in wallet.signer.coins if not c.spent]
+    assert len(unspent) == 4
+    posts = wallet.signer.consolidate(4)
+    assert len(posts) == 3  # 4 coins -> 3 join-splits
+    for post in posts:
+        ledger.post(post)
+    wallet.sync()
+    assert wallet.balance(4) == 100
+    live = [c for c in wallet.signer.coins if not c.spent]
+    # one value-100 coin; join-splits also minted zero-value coins
+    assert sorted(c.plaintext.asset.value for c in live) in (
+        [100],
+        [0, 0, 0, 100],
+    )
+    assert max(c.plaintext.asset.value for c in live) == 100
+    # and the consolidated coin is spendable
+    wallet.to_public(N.Asset(4, 100))
+    assert wallet.balance(4) == 0
+    assert wallet.public_balance(4) == 500
+
+
+def test_initial_sync_fresh_signer(shape_keys):
+    """Fresh-key recovery from genesis without trial decryption
+    (reference `functions.rs:1464`)."""
+    ledger = L.Ledger(CFG_T, shape_keys)
+    old = W.Wallet(
+        "judy", W.Signer(CFG_T, shape_keys, 161616, random.Random(9)), ledger
+    )
+    ledger.deposit("judy", 5, 300)
+    old.to_private(N.Asset(5, 150))
+    old.to_private(N.Asset(5, 50))
+    # a brand-new key fast-syncs the accumulator without decrypting
+    fresh = W.Signer(CFG_T, shape_keys, 262626, random.Random(10))
+    fresh.initial_sync(ledger)
+    assert fresh.checkpoint == ledger.pull(fresh.checkpoint)["checkpoint"]
+    assert not fresh.coins
+    # the fresh signer can now receive and spend against the synced forest
+    fw = W.Wallet("kate", fresh, ledger)
+    old.private_transfer(fw.address, N.Asset(5, 120))
+    fw.sync()
+    assert fw.balance(5) == 120
+    fw.to_public(N.Asset(5, 100))
+    assert fw.public_balance(5) == 100
+    # initial_sync on a signer with history is a typed error
+    with pytest.raises(W.InconsistencyError):
+        fresh.initial_sync(ledger)
+
+
+def test_wallet_desync_detection(shape_keys):
+    """A wallet whose balance book diverged from the ledger raises a typed
+    InconsistencyError and recovers (reference `wallet/mod.rs:725`)."""
+    ledger = L.Ledger(CFG_T, shape_keys)
+    wallet = W.Wallet(
+        "liam", W.Signer(CFG_T, shape_keys, 737373, random.Random(13)), ledger
+    )
+    ledger.deposit("liam", 6, 200)
+    wallet.to_private(N.Asset(6, 100))
+    assert wallet.balance(6) == 100
+    # corrupt the wallet's balance book (simulates missed sync / bad restore)
+    wallet.balances[6] = 10
+    posts = wallet.signer.sign_to_public(N.Asset(6, 60))
+    for post in posts:
+        ledger.post(post, sink_accounts=["liam"])
+    with pytest.raises(W.InconsistencyError):
+        wallet.sync()
+    wallet.recover()
+    assert wallet.balance(6) == 40
+
+
+def test_nullifier_map_indexed(shape_keys):
+    """Spent detection is O(1) per nullifier via the indexed map
+    (reference `signer/nullifier_map.rs`)."""
+    ledger = L.Ledger(CFG_T, shape_keys)
+    wallet = W.Wallet(
+        "mona", W.Signer(CFG_T, shape_keys, 848484, random.Random(14)), ledger
+    )
+    ledger.deposit("mona", 7, 100)
+    wallet.to_private(N.Asset(7, 80))
+    signer = wallet.signer
+    assert set(signer.nullifier_map) == {c.nullifier for c in signer.coins}
+    wallet.to_public(N.Asset(7, 30))
+    assert set(signer.nullifier_map) == {c.nullifier for c in signer.coins}
+    spent = [c for c in signer.coins if c.spent]
+    assert spent and all(
+        signer.nullifier_map[c.nullifier] is c for c in spent
+    )
