@@ -1,0 +1,312 @@
+"""Device-resident Groth16 prover.
+
+Round-1's device path round-tripped through the host between every stage:
+h(x) decoded to Python ints then re-encoded for the MSM, query points
+re-encoded per call, and witness row-evaluation ran as a per-row Python
+loop (VERDICT round 1). This module is the redesign: ONE jitted program
+per (ProvingKey, circuit) pair that takes the witness vector and returns
+the four MSM accumulators, with
+
+- every query point batch encoded once and resident in HBM for the life
+  of the prover (the reference keeps its ProvingKey in RAM the same way —
+  `manta-crypto/src/arkworks/groth16.rs:548-610`),
+- sparse A/B/C row evaluation on device: one Montgomery multiply per
+  matrix entry + a segmented modular sum (`field_ops.segment_sum_mod`),
+- h(x) computed and consumed on device (no host decode between the coset
+  NTT pipeline and the H-query MSM),
+- the L-query and H-query MSMs merged into a single larger MSM (same
+  window pass, better lane occupancy),
+- optional batching: `prove_batch` maps the whole pipeline over B
+  witnesses in one dispatch.
+
+The host finishes each proof with the constant-size randomization
+(r·δ, s·A, …): ~6 small scalar muls on host bignums, latency-irrelevant.
+
+Replaces `ark_groth16::create_proof_with_assignment` (witness maps +
+3 iFFT/2 FFT + 5 MSMs) as used by the reference at
+`manta-crypto/src/arkworks/groth16.rs:589`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from manta_tpu import fields
+from manta_tpu.models import groth16 as G
+from manta_tpu.models.circuit import ConstraintMatrices
+
+
+def _pow2_at_least(n: int, floor: int = 256) -> int:
+    m = floor
+    while m < n:
+        m *= 2
+    return m
+
+
+@dataclasses.dataclass
+class _SparseMat:
+    """One R1CS matrix in entry-sorted COO form (static per circuit)."""
+
+    seg_ids: np.ndarray  # (E,) int32 row index per entry, ascending
+    cols: np.ndarray  # (E,) int32 variable index per entry
+    coeffs: np.ndarray  # (L, E) uint32 Montgomery-form coefficients
+    max_row_terms: int
+
+
+def _build_sparse(fr, rows, which: int) -> _SparseMat:
+    from manta_tpu.ops import field_ops as F
+
+    seg, cols, vals = [], [], []
+    max_terms = 1
+    for j, row in enumerate(rows):
+        lc = row[which]
+        if not lc:
+            continue
+        max_terms = max(max_terms, len(lc))
+        for col, coeff in sorted(lc.items()):
+            seg.append(j)
+            cols.append(col)
+            vals.append(coeff % fr.modulus)
+    return _SparseMat(
+        seg_ids=np.asarray(seg, dtype=np.int32),
+        cols=np.asarray(cols, dtype=np.int32),
+        coeffs=F.encode_ints(fr, vals),
+        max_row_terms=max_terms,
+    )
+
+
+class DeviceProver:
+    """Device-resident prover for one proving key + circuit.
+
+    backend: curve backend for the MSMs ("fused" = whole-formula Pallas
+    point kernels; "limb" = per-op kernels — the fallback for platforms
+    where Mosaic is unavailable).
+    """
+
+    def __init__(
+        self,
+        pk: G.ProvingKey,
+        matrices: ConstraintMatrices,
+        backend: str = "fused",
+        window_bits: int = 13,
+        column_steps: int = 128,
+    ):
+        import jax
+
+        from manta_tpu.ops import curve as C
+
+        self.pk = pk
+        self.matrices = matrices
+        self.window_bits = window_bits
+        self.column_steps = column_steps
+        cfg = pk.cfg
+        self.fr = cfg.g1.scalar_field
+        self.g1 = C.curve_ops_for(cfg.g1, backend)
+        self.g2 = C.curve_ops_for(cfg.g2, backend)
+
+        rows = G._qap_rows(matrices)
+        self.m = pk.domain_size
+        assert len(rows) <= self.m
+        self.ni = matrices.num_instance
+        self.nv = matrices.num_variables
+        self.mats = tuple(_build_sparse(self.fr, rows, w) for w in range(3))
+
+        # --- device-resident query points + zero-scalar masks ---
+        self.n_ab = _pow2_at_least(self.nv)
+        self.a_pts, self.a_mask = self._encode_query(self.g1, pk.a_query, self.n_ab)
+        self.b1_pts, self.b1_mask = self._encode_query(
+            self.g1, pk.b_g1_query, self.n_ab
+        )
+        self.b2_pts, self.b2_mask = self._encode_query(
+            self.g2, pk.b_g2_query, self.n_ab
+        )
+        # merged C-side MSM: l_query scalars are z[ni:], h_query scalars are
+        # the computed h coefficients — one MSM over the concatenation
+        self.n_lh = _pow2_at_least(len(pk.l_query) + len(pk.h_query))
+        self.lh_pts, self.lh_mask = self._encode_query(
+            self.g1, list(pk.l_query) + list(pk.h_query), self.n_lh
+        )
+
+        self._core = jax.jit(self._prove_core)
+        self._core_batch = jax.jit(self._prove_core_batch)
+
+    def _encode_query(self, cops, query, n: int):
+        import jax.numpy as jnp
+
+        curve = cops.curve
+        pts = [curve.generator if p is None else p for p in query]
+        pts += [curve.generator] * (n - len(query))
+        mask = np.zeros(n, dtype=np.uint32)
+        for i, p in enumerate(query):
+            if p is not None:
+                mask[i] = 1
+        return cops.encode_points(pts), jnp.asarray(mask)
+
+    # -- device pipeline --
+
+    def _row_eval(self, mat: _SparseMat, z_mont):
+        """A/B/C evaluations over the domain: (L, ..., m) Montgomery."""
+        import jax.numpy as jnp
+
+        from manta_tpu.ops import field_ops as F
+
+        coeffs = jnp.asarray(mat.coeffs)
+        taken = jnp.take(z_mont, jnp.asarray(mat.cols), axis=-1)
+        if taken.ndim > coeffs.ndim:  # batched: broadcast coeffs over B
+            coeffs = coeffs[:, None, :]
+        prods = F.mont_mul(self.fr, coeffs, taken)
+        return F.segment_sum_mod(
+            self.fr, prods, mat.seg_ids, self.m, mat.max_row_terms
+        )
+
+    def _h_canonical(self, z_mont):
+        """Witness -> canonical h(x) coefficient limbs, all on device."""
+        from manta_tpu.ops import field_ops as F
+        from manta_tpu.ops import ntt as NTT
+
+        fr = self.fr
+        a_ev = self._row_eval(self.mats[0], z_mont)
+        b_ev = self._row_eval(self.mats[1], z_mont)
+        c_ev = self._row_eval(self.mats[2], z_mont)
+        a_c = NTT.intt(fr, a_ev)
+        b_c = NTT.intt(fr, b_ev)
+        c_c = NTT.intt(fr, c_ev)
+        ab = F.mont_mul(fr, NTT.coset_ntt(fr, a_c), NTT.coset_ntt(fr, b_c))
+        diff = F.sub(fr, ab, NTT.coset_ntt(fr, c_c))
+        z_inv = pow(
+            (pow(fr.generator, self.m, fr.modulus) - 1) % fr.modulus,
+            -1,
+            fr.modulus,
+        )
+        h_ev = F.mul_const(fr, diff, F.const(fr, z_inv))
+        h_c = NTT.coset_intt(fr, h_ev)
+        return F.normalize(fr, F.from_mont(fr, h_c))
+
+    def _msms(self, z_mont, z_canon):
+        """The four MSM accumulators for one witness (z arrays unbatched)."""
+        import jax.numpy as jnp
+
+        from manta_tpu.ops import msm as M
+
+        h_canon = self._h_canonical(z_mont)
+        pad_ab = jnp.zeros(
+            (z_canon.shape[0], self.n_ab - self.nv), jnp.uint32
+        )
+        sc_ab = jnp.concatenate([z_canon, pad_ab], axis=-1)
+
+        def run(cops, sc, pts, mask, steps):
+            return M.msm(
+                cops,
+                sc * mask[None, :],
+                pts,
+                self.window_bits,
+                False,
+                min(steps, self.column_steps),
+                scalar_bits=self.fr.bits,
+            )
+
+        a_acc = run(self.g1, sc_ab, self.a_pts, self.a_mask, self.n_ab)
+        b1_acc = run(self.g1, sc_ab, self.b1_pts, self.b1_mask, self.n_ab)
+        b2_acc = run(self.g2, sc_ab, self.b2_pts, self.b2_mask, self.n_ab)
+        n_l = len(self.pk.l_query)
+        n_h = len(self.pk.h_query)
+        sc_lh = jnp.concatenate(
+            [
+                z_canon[:, self.ni : self.nv],
+                h_canon[:, :n_h],
+                jnp.zeros(
+                    (z_canon.shape[0], self.n_lh - (self.nv - self.ni) - n_h),
+                    jnp.uint32,
+                ),
+            ],
+            axis=-1,
+        )
+        assert n_l == self.nv - self.ni
+        lh_acc = run(self.g1, sc_lh, self.lh_pts, self.lh_mask, self.n_lh)
+        return a_acc, b1_acc, b2_acc, lh_acc
+
+    def _prove_core(self, z_mont, z_canon):
+        return self._msms(z_mont, z_canon)
+
+    def _prove_core_batch(self, z_mont_b, z_canon_b):
+        import jax
+
+        return jax.lax.map(
+            lambda zz: self._msms(zz[0], zz[1]), (z_mont_b, z_canon_b)
+        )
+
+    # -- host API --
+
+    def _encode_witness(self, assignment: Sequence[int]):
+        import jax.numpy as jnp
+
+        from manta_tpu.ops import field_ops as F
+
+        assert len(assignment) == self.nv
+        vals = [int(x) % self.fr.modulus for x in assignment]
+        z_mont = jnp.asarray(F.encode_ints(self.fr, vals))
+        z_canon = jnp.asarray(F.encode_ints(self.fr, vals, montgomery=False))
+        return z_mont, z_canon
+
+    def _finish(
+        self, accs, assignment, r_rand: int, s_rand: int
+    ) -> G.Proof:
+        """Host-side completion: decode the 4 accumulators, apply the
+        constant-size randomization terms."""
+        pk = self.pk
+        cfg = pk.cfg
+        g1c, g2c = cfg.g1, cfg.g2
+        p = self.fr.modulus
+        a_acc = self.g1.decode_points(accs[0])[0]
+        b1_acc = self.g1.decode_points(accs[1])[0]
+        b2_acc = self.g2.decode_points(accs[2])[0]
+        lh_acc = self.g1.decode_points(accs[3])[0]
+        a_pt = g1c.add(
+            g1c.add(pk.alpha_g1, a_acc), g1c.scalar_mul(r_rand, pk.delta_g1)
+        )
+        b_pt = g2c.add(
+            g2c.add(pk.beta_g2, b2_acc), g2c.scalar_mul(s_rand, pk.delta_g2)
+        )
+        b1_pt = g1c.add(
+            g1c.add(pk.beta_g1, b1_acc), g1c.scalar_mul(s_rand, pk.delta_g1)
+        )
+        c_pt = g1c.add(lh_acc, g1c.scalar_mul(s_rand, a_pt))
+        c_pt = g1c.add(c_pt, g1c.scalar_mul(r_rand, b1_pt))
+        c_pt = g1c.add(
+            c_pt, g1c.neg(g1c.scalar_mul(r_rand * s_rand % p, pk.delta_g1))
+        )
+        return G.Proof(a=a_pt, b=b_pt, c=c_pt)
+
+    def prove(
+        self, assignment: Sequence[int], r_rand: int = 0, s_rand: int = 0
+    ) -> G.Proof:
+        z_mont, z_canon = self._encode_witness(assignment)
+        accs = self._core(z_mont, z_canon)
+        return self._finish(accs, assignment, r_rand, s_rand)
+
+    def prove_batch(
+        self,
+        assignments: Sequence[Sequence[int]],
+        rands: Optional[Sequence[tuple]] = None,
+    ) -> List[G.Proof]:
+        """Prove B witnesses of the same circuit in one device dispatch."""
+        import jax.numpy as jnp
+
+        if rands is None:
+            rands = [(0, 0)] * len(assignments)
+        enc = [self._encode_witness(a) for a in assignments]
+        z_mont_b = jnp.stack([e[0] for e in enc])
+        z_canon_b = jnp.stack([e[1] for e in enc])
+        accs_b = self._core_batch(z_mont_b, z_canon_b)
+        out = []
+        for i, (assignment, (r_rand, s_rand)) in enumerate(
+            zip(assignments, rands)
+        ):
+            accs = tuple(
+                type(a)(a.x[i], a.y[i], a.z[i]) for a in accs_b
+            )
+            out.append(self._finish(accs, assignment, r_rand, s_rand))
+        return out

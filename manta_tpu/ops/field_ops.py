@@ -296,6 +296,62 @@ def redc(spec: FieldSpec, acc: jnp.ndarray) -> jnp.ndarray:
     return _carry_propagate(acc[L:], L)
 
 
+def fold_wide(spec: FieldSpec, limbs: jnp.ndarray) -> jnp.ndarray:
+    """(W, ...) 16-bit limbs of an arbitrary W-limb value -> lazy [0, 2p).
+
+    Splits V = V_lo + 2^(16H)·V_hi at the largest H with 2^(16H) <= 2p (so
+    V_lo is already a valid lazy value) and folds the high half with ONE
+    Montgomery multiply by the constant (2^(16H)·R mod p). Valid whenever
+    W - H <= L, i.e. up to ~2^(16(L-1))·2p — ample for segment sums of
+    thousands of lazy values even on headroom-free fields (BN254 Fr has
+    R/4p ≈ 1.3, which rules out pre-REDC accumulator summing there).
+    """
+    W = limbs.shape[0]
+    L = spec.num_limbs
+    H = ((2 * spec.modulus).bit_length() - 1) // LIMB_BITS
+    assert H <= L and W - H <= L, (W, H, L)
+    tail_shape = limbs.shape[1:]
+
+    def pad_to_l(part):
+        k = part.shape[0]
+        if k == L:
+            return part
+        return jnp.concatenate(
+            [part, jnp.zeros((L - k, *tail_shape), jnp.uint32)], axis=0
+        )
+
+    v_lo = pad_to_l(limbs[:H])
+    v_hi = pad_to_l(limbs[H:])
+    k_const = (1 << (LIMB_BITS * H)) * spec.R % spec.modulus
+    k_limbs = jnp.asarray(
+        fields.int_to_limbs(k_const, L), dtype=jnp.uint32
+    ).reshape((L,) + (1,) * len(tail_shape))
+    return add(spec, mont_mul(spec, v_hi, k_limbs), v_lo)
+
+
+def segment_sum_mod(
+    spec: FieldSpec,
+    values: jnp.ndarray,
+    seg_ids,
+    num_segments: int,
+    max_terms: int,
+) -> jnp.ndarray:
+    """Segmented modular sum: values (L, ..., E) lazy [0, 2p) grouped by
+    `seg_ids` (E,) -> (L, ..., num_segments) lazy [0, 2p).
+
+    Sums raw uint32 limbs (safe while max_terms < 2^15), carry-propagates
+    once, and reduces with `fold_wide` — one Montgomery multiply total,
+    independent of segment sizes.
+    """
+    assert max_terms < (1 << 15), "limb sums would overflow uint32"
+    L = spec.num_limbs
+    seg = jnp.asarray(seg_ids, dtype=jnp.int32)
+    sums = jnp.zeros(
+        (L, *values.shape[1:-1], num_segments), jnp.uint32
+    ).at[..., seg].add(values)
+    return fold_wide(spec, _carry_propagate(sums, L + 1))
+
+
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product: (a·b·R^-1) mod p."""
     fast = _maybe_pallas("mont_mul", spec, a, b)

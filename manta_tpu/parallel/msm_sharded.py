@@ -29,6 +29,9 @@ def sharded_msm(
     points: JacobianPoint,
     mesh,
     window_bits: int = M.DEFAULT_WINDOW_BITS,
+    column_steps: int = M.DEFAULT_COLUMN_STEPS,
+    scalar_bits: int = 0,
+    signed: bool = True,
 ) -> JacobianPoint:
     """sum_i scalars[i] * points[i] across a device mesh.
 
@@ -53,7 +56,16 @@ def sharded_msm(
         check_vma=False,
     )
     def local_msm(sc, px, py, pz):
-        r = M.msm(cops, sc, JacobianPoint(px, py, pz), window_bits)
+        r = M.msm(
+            cops,
+            sc,
+            JacobianPoint(px, py, pz),
+            window_bits,
+            False,
+            column_steps,
+            scalar_bits,
+            signed,
+        )
         return r.x, r.y, r.z
 
     rx, ry, rz = local_msm(scalars, points.x, points.y, points.z)
@@ -61,4 +73,4 @@ def sharded_msm(
     return S.total_sum(cops, JacobianPoint(rx, ry, rz))
 
 
-sharded_msm_jit = jax.jit(sharded_msm, static_argnums=(0, 3, 4))
+sharded_msm_jit = jax.jit(sharded_msm, static_argnums=(0, 3, 4, 5, 6, 7))
