@@ -153,6 +153,39 @@ def initialize(
     )
 
 
+def _rlc_coefficients(cfg, challenge: bytes, proof, next_pts) -> List[int]:
+    """Deterministic 128-bit batching coefficients, Fiat-Shamir-bound to
+    the round challenge, the ratio proof, AND the claimed next points (so
+    a cheating contributor cannot craft points against known coefficients)."""
+    import hashlib
+
+    from manta_tpu.utils import codec
+
+    h = hashlib.blake2b()
+    h.update(challenge)
+    h.update(codec.serialize_g1_compressed(proof.ratio[0], cfg.g1))
+    h.update(codec.serialize_g1_compressed(proof.ratio[1], cfg.g1))
+    h.update(codec.serialize_g2_compressed(proof.matching_point, cfg.g2))
+    for pt in next_pts:
+        h.update(codec.serialize_g1_compressed(pt, cfg.g1))
+    seed = h.digest()
+    out = []
+    for i in range(len(next_pts)):
+        d = hashlib.blake2b(seed + i.to_bytes(8, "little"), digest_size=16)
+        out.append(int.from_bytes(d.digest(), "little"))
+    return out
+
+
+def _host_msm(curve, coeffs: List[int], pts: List):
+    """sum_i coeffs[i]·pts[i] on host bignums (None = infinity)."""
+    acc = None
+    for c, pt in zip(coeffs, pts):
+        if pt is None:
+            continue
+        acc = curve.add(acc, curve.scalar_mul(c, pt))
+    return acc
+
+
 def contribute(state: Phase2State, delta: int, nonce: int = 5) -> R.RatioProof:
     """Rescale by fresh δ (reference `mpc.rs:451`)."""
     cfg = state.cfg
@@ -190,16 +223,24 @@ def verify_transform(
     ):
         return False
     # l/h queries rescaled by THIS round's delta^-1: with H the round's
-    # ratio hash point, e(next_l, δ·H) == e(prev_l, H)
-    for prev_pt, next_pt in zip(
-        prev.l_query + prev.h_query, nxt.l_query + nxt.h_query
+    # ratio hash point, e(next_l, δ·H) == e(prev_l, H). Batched with a
+    # deterministic random linear combination (Fiat-Shamir over the round
+    # challenge + proof) — ONE pairing check for the whole query set, as
+    # the reference batches its checks (`kzg.rs:472` random-linear-
+    # combination merge); 128-bit coefficients suffice for soundness.
+    prev_pts = prev.l_query + prev.h_query
+    next_pts = nxt.l_query + nxt.h_query
+    if len(prev_pts) != len(next_pts):
+        return False
+    coeffs = _rlc_coefficients(cfg, challenge, proof, next_pts)
+    prev_comb = _host_msm(cfg.g1, coeffs, prev_pts)
+    next_comb = _host_msm(cfg.g1, coeffs, next_pts)
+    if (prev_comb is None) != (next_comb is None):
+        return False
+    if prev_comb is not None and not R.same_ratio(
+        cfg, (next_comb, prev_comb), (h, proof.matching_point)
     ):
-        if prev_pt is None and next_pt is None:
-            continue
-        if not R.same_ratio(
-            cfg, (next_pt, prev_pt), (h, proof.matching_point)
-        ):
-            return False
+        return False
     # untouched sections must be identical
     if (
         prev.a_query != nxt.a_query

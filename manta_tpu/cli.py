@@ -14,6 +14,29 @@
     python -m manta_tpu.cli measure
         Constraint/variable counts per shape circuit — the reference's
         `Measure`/`Instrument` reporting (`manta-crypto/src/constraint.rs`).
+
+    Trusted-setup ceremony CLIs (reference `manta-trusted-setup/src/bin/*`):
+
+    python -m manta_tpu.cli ceremony-prepare <dir> [--test-config] [--size N]
+        Initialize per-circuit phase-2 states from a fresh phase-1
+        accumulator + registry skeleton (reference
+        `groth16_phase2_prepare.rs`, `coordinator.rs:446` prepare).
+
+    python -m manta_tpu.cli ceremony-server <dir> [port]
+        Serve (or recover) the multi-circuit ceremony over HTTP
+        (reference `groth16_phase2_server.rs`, `server.rs:60,118`).
+
+    python -m manta_tpu.cli ceremony-client register <dir> <identity>
+        Generate a contributor keypair -> registry line on stdout
+        (reference `groth16_phase2_client.rs:46` Register).
+
+    python -m manta_tpu.cli ceremony-client contribute <url> <identity> <keyfile>
+        Join the queue and contribute to every circuit when the lock is
+        granted (reference `groth16_phase2_client.rs:84` Contribute).
+
+    python -m manta_tpu.cli ceremony-verify <dir>
+        Re-verify the full persisted transcript from the initial states
+        (reference `groth16_phase2_verifier.rs`).
 """
 
 from __future__ import annotations
@@ -129,6 +152,134 @@ def cmd_measure():
                 print(f"      {label:14s} +{dc} constraints, +{dw} witnesses")
 
 
+# -- ceremony CLIs (reference `manta-trusted-setup/src/bin/*`) --
+
+
+def cmd_ceremony_prepare(
+    outdir: str, test_config: bool, size: int, shapes=None
+):
+    """Build the initial multi-circuit phase-2 states + an empty registry."""
+    from manta_tpu.ceremony import kzg as KZG
+    from manta_tpu.ceremony import phase2 as P2
+    from manta_tpu.models import circuit as CC
+    from manta_tpu.models import pairing as PR
+    from manta_tpu.protocol import circuits as TCC
+
+    cfg = CFG.test_config() if test_config else CFG.production()
+    os.makedirs(outdir, exist_ok=True)
+    acc = KZG.Accumulator.default(PR.BN254_PAIRING, size)
+    states = {}
+    for shape in shapes or ("to_private", "private_transfer", "to_public"):
+        com = CC.R1CS(cfg.field, mode="setup")
+        TCC.SHAPES[shape](com, cfg, None)
+        matrices, _ = com.finalize()
+        print(f"[prepare] {shape}: {matrices.num_constraints} constraints")
+        states[shape] = P2.initialize(acc, matrices)
+    with open(os.path.join(outdir, "initial.states"), "wb") as f:
+        pickle.dump(states, f)
+    reg_path = os.path.join(outdir, "registry.csv")
+    if not os.path.exists(reg_path):
+        with open(reg_path, "w") as f:
+            f.write("# identity,pubkey_hex,priority\n")
+    print(f"[prepare] wrote {outdir}/initial.states and registry.csv")
+
+
+def cmd_ceremony_server(dirpath: str, port: int):
+    from manta_tpu.ceremony import coordinator as CO
+    from manta_tpu.ceremony import server as CS
+
+    registry = CO.Registry.from_csv(os.path.join(dirpath, "registry.csv"))
+    recovery = os.path.join(dirpath, "rounds")
+    if os.path.isdir(recovery) and any(
+        f.endswith(".parallel") for f in os.listdir(recovery)
+    ):
+        coordinator = CS.ParallelCoordinator.recover(recovery, registry)
+        print(f"[server] recovered at round {coordinator.round}")
+    else:
+        with open(os.path.join(dirpath, "initial.states"), "rb") as f:
+            states = pickle.load(f)
+        coordinator = CS.ParallelCoordinator(
+            states, registry, recovery_dir=recovery
+        )
+    server = CS.CeremonyServer(coordinator, port=port).start()
+    print(f"[server] listening on :{server.port} — Ctrl-C to stop")
+    try:
+        server.thread.join()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+def cmd_ceremony_client(args):
+    from manta_tpu.ceremony import coordinator as CO
+    from manta_tpu.ceremony import server as CS
+    from manta_tpu.models import pairing as PR
+
+    mode, *rest = args
+    if mode == "register":
+        dirpath, identity = rest
+        sk, pk = CO.generate_keypair()
+        keyfile = os.path.join(dirpath, f"{identity}.key")
+        from cryptography.hazmat.primitives import serialization
+
+        with open(keyfile, "wb") as f:
+            f.write(
+                sk.private_bytes(
+                    serialization.Encoding.Raw,
+                    serialization.PrivateFormat.Raw,
+                    serialization.NoEncryption(),
+                )
+            )
+        print(f"{identity},{pk.hex()},0")
+        print(f"[client] key written to {keyfile}; append the line above "
+              f"to registry.csv", file=sys.stderr)
+        return
+    if mode == "contribute":
+        import time
+
+        url, identity, keyfile = rest
+        from cryptography.hazmat.primitives.asymmetric.ed25519 import (
+            Ed25519PrivateKey,
+        )
+
+        with open(keyfile, "rb") as f:
+            sk = Ed25519PrivateKey.from_private_bytes(f.read())
+        client = CS.CeremonyClient(
+            url, identity, sk, start_nonce=int(time.time())
+        )
+        names = client.status()["circuits"]
+        sysrandom = random.SystemRandom()
+        deltas = {
+            n: sysrandom.randrange(1, PR.BN254_PAIRING.g1.scalar_field.modulus)
+            for n in names
+        }
+        client.enqueue()
+        while True:
+            reply = client.try_contribute(PR.BN254_PAIRING, deltas)
+            if reply.get("ok"):
+                print(f"[client] contributed at round {reply['round']}")
+                return
+            if reply.get("ok") is False:
+                raise SystemExit(f"contribution rejected: {reply}")
+            print(f"[client] queue position {reply.get('position')}; waiting")
+            time.sleep(2)
+    raise SystemExit(f"unknown ceremony-client mode {mode}")
+
+
+def cmd_ceremony_verify(dirpath: str) -> bool:
+    from manta_tpu.ceremony import coordinator as CO
+    from manta_tpu.ceremony import server as CS
+
+    registry = CO.Registry.from_csv(os.path.join(dirpath, "registry.csv"))
+    coordinator = CS.ParallelCoordinator.recover(
+        os.path.join(dirpath, "rounds"), registry
+    )
+    with open(os.path.join(dirpath, "initial.states"), "rb") as f:
+        initial = pickle.load(f)
+    ok = coordinator.verify_full_transcript(initial)
+    print(f"[verify] {coordinator.round} rounds: {'OK' if ok else 'FAILED'}")
+    return ok
+
+
 def main(argv):
     if not argv:
         print(__doc__)
@@ -148,6 +299,22 @@ def main(argv):
         assert result["conserved"]
     elif cmd == "measure":
         cmd_measure()
+    elif cmd == "ceremony-prepare":
+        size = 16
+        if "--size" in rest:
+            size = int(rest[rest.index("--size") + 1])
+        shapes = None
+        if "--shapes" in rest:
+            shapes = rest[rest.index("--shapes") + 1].split(",")
+        cmd_ceremony_prepare(rest[0], "--test-config" in rest, size, shapes)
+    elif cmd == "ceremony-server":
+        port = int(rest[1]) if len(rest) > 1 else 8808
+        cmd_ceremony_server(rest[0], port)
+    elif cmd == "ceremony-client":
+        cmd_ceremony_client(rest)
+    elif cmd == "ceremony-verify":
+        if not cmd_ceremony_verify(rest[0]):
+            return 1
     else:
         print(__doc__)
         return 1
