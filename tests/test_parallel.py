@@ -32,3 +32,57 @@ def test_sharded_msm_matches_host(rng):
         ops, sc, pts, mesh, 4
     )
     assert ops.decode_points(result) == [expected]
+
+
+def test_sharded_ntt_matches_single_device(rng):
+    """Four-step mesh NTT is bit-identical to the single-chip kernel for
+    all four variants (BASELINE config 2: sharded NTT over Fr)."""
+    import numpy as np
+
+    from manta_tpu import fields
+    from manta_tpu.ops import ntt as NTT
+    from manta_tpu.parallel.ntt_sharded import sharded_ntt
+
+    spec = fields.BLS12_381_FR
+    mesh = MESH.data_mesh()
+    n = 1 << 10
+    vals = [rng.randrange(spec.modulus) for _ in range(n)]
+    a = jnp.asarray(F.encode_ints(spec, vals))
+    a_s = jax.device_put(a, MESH.shard_last(mesh, a.ndim))
+
+    cases = [
+        (dict(inverse=False, coset=False), lambda x: NTT.ntt(spec, x)),
+        (dict(inverse=True, coset=False), lambda x: NTT.intt(spec, x)),
+        (dict(inverse=False, coset=True), lambda x: NTT.coset_ntt(spec, x)),
+        (dict(inverse=True, coset=True), lambda x: NTT.coset_intt(spec, x)),
+    ]
+    for kwargs, single in cases:
+        got = jax.jit(
+            sharded_ntt, static_argnums=(0, 2, 3, 4)
+        )(spec, a_s, mesh, kwargs["inverse"], kwargs["coset"])
+        want = single(a)
+        # both land in the lazy [0, 2p) domain; compare canonical values
+        np.testing.assert_array_equal(
+            np.asarray(F.normalize(spec, got)),
+            np.asarray(F.normalize(spec, want)),
+            err_msg=str(kwargs),
+        )
+
+
+def test_sharded_ntt_roundtrip(rng):
+    import numpy as np
+
+    from manta_tpu import fields
+    from manta_tpu.parallel.ntt_sharded import sharded_ntt
+
+    spec = fields.BN254_FR
+    mesh = MESH.data_mesh()
+    n = 1 << 9
+    vals = [rng.randrange(spec.modulus) for _ in range(n)]
+    a = jnp.asarray(F.encode_ints(spec, vals))
+    fwd = jax.jit(sharded_ntt, static_argnums=(0, 2, 3, 4))
+    ev = fwd(spec, a, mesh, False, True)
+    back = fwd(spec, ev, mesh, True, True)
+    np.testing.assert_array_equal(
+        np.asarray(F.normalize(spec, back)), np.asarray(F.normalize(spec, a))
+    )
