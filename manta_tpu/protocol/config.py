@@ -58,14 +58,39 @@ def _deterministic_field(tag: str) -> int:
     )
 
 
-def _load_duplex_initial_state(
-    fname: str, width: int
-) -> Optional[Tuple[int, ...]]:
-    """Published duplexer blob = Poseidon params ++ u64 len ++ initial state."""
+def _read_published(fname: str) -> Optional[bytes]:
+    """Read a published parameter blob, verifying its blake3 checksum from
+    the repo checkfile (reference `manta-parameters/src/lib.rs:174-177`
+    `verify` + `data.checkfile`). A checksum mismatch is a hard error —
+    never silently fall back to stand-ins on corrupt data."""
     path = os.path.join(REF_PARAMS_DIR, fname)
     if not os.path.exists(path):
         return None
     blob = open(path, "rb").read()
+    checkfile = os.path.join(REF_PARAMS_DIR, "..", "..", "..", "data.checkfile")
+    checkfile = os.path.normpath(checkfile)
+    if os.path.exists(checkfile):
+        from manta_tpu.utils import blake3 as B3
+
+        rel = f"data/pay/parameters/{fname}"
+        for line in open(checkfile):
+            parts = line.split()
+            if len(parts) == 2 and parts[1] == rel:
+                if not B3.verify(blob, bytes.fromhex(parts[0])):
+                    raise ValueError(
+                        f"{fname}: blake3 checksum mismatch with data.checkfile"
+                    )
+                break
+    return blob
+
+
+def _load_duplex_initial_state(
+    fname: str, width: int
+) -> Optional[Tuple[int, ...]]:
+    """Published duplexer blob = Poseidon params ++ u64 len ++ initial state."""
+    blob = _read_published(fname)
+    if blob is None:
+        return None
     spec = grain.poseidon_spec(FR, width)
     r = codec.Reader(blob)
     keys = r.fields_list(FR, spec.rounds * width)
@@ -140,11 +165,9 @@ class MantaPayConfig:
 @functools.lru_cache(maxsize=None)
 def production() -> MantaPayConfig:
     """Production config; loads published parameters when available."""
-    gen_path = os.path.join(REF_PARAMS_DIR, "group-generator.dat")
-    if os.path.exists(gen_path):
-        generator = codec.deserialize_edwards_compressed(
-            open(gen_path, "rb").read(), EMBEDDED
-        )
+    gen_blob = _read_published("group-generator.dat")
+    if gen_blob is not None:
+        generator = codec.deserialize_edwards_compressed(gen_blob, EMBEDDED)
     else:
         generator = EMBEDDED.scalar_mul(
             _deterministic_field("group-generator") % EMBEDDED_FR.modulus,

@@ -138,3 +138,43 @@ def test_spending_key_derivation_shape():
     # reads them little-endian (reference `signer/base.rs:59`)
     xprv = KS.derive_xprv_key(seed, 0)
     assert int.from_bytes(xprv, "little") % CFG.EMBEDDED_FR.modulus == k0
+
+
+def test_blake3_matches_reference_checkfile():
+    """Pure-Python blake3 reproduces the reference repo's own checksums
+    (`manta-parameters/data.checkfile`, generated by b3sum) including
+    multi-chunk tree paths on the 36KB verifying keys."""
+    import os
+
+    from manta_tpu.utils.blake3 import blake3, verify
+
+    assert blake3(b"").hex() == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    base = "/root/reference/manta-parameters"
+    checkfile = os.path.join(base, "data.checkfile")
+    if not os.path.exists(checkfile):
+        pytest.skip("reference checkfile not mounted")
+    checked = 0
+    for line in open(checkfile):
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        data = open(os.path.join(base, parts[1]), "rb").read()
+        if data.startswith(b"version https://git-lfs"):
+            continue  # LFS stub, checksum refers to the real payload
+        assert verify(data, bytes.fromhex(parts[0])), parts[1]
+        assert not verify(data + b"x", bytes.fromhex(parts[0]))
+        checked += 1
+    assert checked >= 20
+
+
+def test_production_config_checksums_blobs():
+    """Loading the production config verifies published blobs via blake3
+    (reference `manta-parameters/src/lib.rs:174`)."""
+    from manta_tpu.protocol import config as CFG
+
+    blob = CFG._read_published("group-generator.dat")
+    if blob is None:
+        pytest.skip("published parameters not mounted")
+    assert len(blob) == 32
