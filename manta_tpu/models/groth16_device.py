@@ -113,6 +113,7 @@ class DeviceProver:
         self.ni = matrices.num_instance
         self.nv = matrices.num_variables
         self.mats = tuple(_build_sparse(self.fr, rows, w) for w in range(3))
+        self.devices = None  # multi-device replication, see replicate_to
 
         # --- device-resident query points + zero-scalar masks ---
         self.n_ab = _pow2_at_least(self.nv)
@@ -130,8 +131,16 @@ class DeviceProver:
             self.g1, list(pk.l_query) + list(pk.h_query), self.n_lh
         )
 
+        # Split programs: h-pipeline + scalar glue compile as one small
+        # program; each MSM dispatches through the SHARED `msm_jit` (point
+        # arrays as arguments), so all provers/tests/dry-runs with the same
+        # shapes reuse one compiled executable per (curve, n) — XLA:CPU
+        # spends ~0.5s of LLVM codegen per big-int op, so a monolithic
+        # 4-MSM prover program costs ~45 min there; the split pieces
+        # compile in minutes and live in the persistent cache.
+        self._scalars_jit = jax.jit(self._prove_scalars)
+        #: monolithic single-dispatch pipeline (TPU compile-check / perf)
         self._core = jax.jit(self._prove_core)
-        self._core_batch = jax.jit(self._prove_core_batch)
 
     def _encode_query(self, cops, query, n: int):
         import jax.numpy as jnp
@@ -185,22 +194,59 @@ class DeviceProver:
         h_c = NTT.coset_intt(fr, h_ev)
         return F.normalize(fr, F.from_mont(fr, h_c))
 
-    def _msms(self, z_mont, z_canon):
-        """The four MSM accumulators for one witness (z arrays unbatched)."""
+    def _prove_scalars(self, z_mont, z_canon):
+        """Witness -> the two masked MSM scalar arrays (AB-side and merged
+        L/H-side, h(x) computed on device)."""
         import jax.numpy as jnp
-
-        from manta_tpu.ops import msm as M
 
         h_canon = self._h_canonical(z_mont)
         pad_ab = jnp.zeros(
             (z_canon.shape[0], self.n_ab - self.nv), jnp.uint32
         )
         sc_ab = jnp.concatenate([z_canon, pad_ab], axis=-1)
+        n_l = len(self.pk.l_query)
+        n_h = len(self.pk.h_query)
+        assert n_l == self.nv - self.ni
+        sc_lh = jnp.concatenate(
+            [
+                z_canon[:, self.ni : self.nv],
+                h_canon[:, :n_h],
+                jnp.zeros(
+                    (z_canon.shape[0], self.n_lh - n_l - n_h), jnp.uint32
+                ),
+            ],
+            axis=-1,
+        )
+        return sc_ab * self.a_mask[None, :], sc_ab * self.b1_mask[None, :], \
+            sc_ab * self.b2_mask[None, :], sc_lh * self.lh_mask[None, :]
 
-        def run(cops, sc, pts, mask, steps):
+    def _run_msm(self, cops, sc, pts, n: int):
+        """One MSM through the SHARED jitted kernel (`msm_jit` caches per
+        (cops, shapes, statics) — reused across prover instances)."""
+        from manta_tpu.ops import msm as M
+
+        return M.msm_jit(
+            cops,
+            sc,
+            pts,
+            self.window_bits,
+            False,
+            min(n, self.column_steps),
+            self.fr.bits,
+            True,
+        )
+
+    def _msms(self, z_mont, z_canon):
+        """The four MSM accumulators for one witness, single trace (used by
+        the monolithic `_core`; the split path dispatches `_run_msm`)."""
+        from manta_tpu.ops import msm as M
+
+        sc_a, sc_b1, sc_b2, sc_lh = self._prove_scalars(z_mont, z_canon)
+
+        def run(cops, sc, pts, steps):
             return M.msm(
                 cops,
-                sc * mask[None, :],
+                sc,
                 pts,
                 self.window_bits,
                 False,
@@ -208,35 +254,36 @@ class DeviceProver:
                 scalar_bits=self.fr.bits,
             )
 
-        a_acc = run(self.g1, sc_ab, self.a_pts, self.a_mask, self.n_ab)
-        b1_acc = run(self.g1, sc_ab, self.b1_pts, self.b1_mask, self.n_ab)
-        b2_acc = run(self.g2, sc_ab, self.b2_pts, self.b2_mask, self.n_ab)
-        n_l = len(self.pk.l_query)
-        n_h = len(self.pk.h_query)
-        sc_lh = jnp.concatenate(
-            [
-                z_canon[:, self.ni : self.nv],
-                h_canon[:, :n_h],
-                jnp.zeros(
-                    (z_canon.shape[0], self.n_lh - (self.nv - self.ni) - n_h),
-                    jnp.uint32,
-                ),
-            ],
-            axis=-1,
-        )
-        assert n_l == self.nv - self.ni
-        lh_acc = run(self.g1, sc_lh, self.lh_pts, self.lh_mask, self.n_lh)
+        a_acc = run(self.g1, sc_a, self.a_pts, self.n_ab)
+        b1_acc = run(self.g1, sc_b1, self.b1_pts, self.n_ab)
+        b2_acc = run(self.g2, sc_b2, self.b2_pts, self.n_ab)
+        lh_acc = run(self.g1, sc_lh, self.lh_pts, self.n_lh)
         return a_acc, b1_acc, b2_acc, lh_acc
 
     def _prove_core(self, z_mont, z_canon):
         return self._msms(z_mont, z_canon)
 
-    def _prove_core_batch(self, z_mont_b, z_canon_b):
+    def replicate_to(self, devices) -> None:
+        """Replicate the HBM-resident query points to every device so
+        `prove_batch` can fan independent proofs out across them."""
         import jax
 
-        return jax.lax.map(
-            lambda zz: self._msms(zz[0], zz[1]), (z_mont_b, z_canon_b)
-        )
+        self.devices = list(devices)
+        self._dev_pts = []
+        for d in self.devices:
+            put = lambda pt: type(pt)(
+                jax.device_put(pt.x, d),
+                jax.device_put(pt.y, d),
+                jax.device_put(pt.z, d),
+            )
+            self._dev_pts.append(
+                (
+                    put(self.a_pts),
+                    put(self.b1_pts),
+                    put(self.b2_pts),
+                    put(self.lh_pts),
+                )
+            )
 
     # -- host API --
 
@@ -280,11 +327,43 @@ class DeviceProver:
         )
         return G.Proof(a=a_pt, b=b_pt, c=c_pt)
 
-    def prove(
-        self, assignment: Sequence[int], r_rand: int = 0, s_rand: int = 0
-    ) -> G.Proof:
+    def _dispatch_proof(self, assignment, device_index: Optional[int]):
+        """Enqueue the split pipeline for one witness; returns the four
+        accumulator futures (XLA dispatch is async, so sequential calls on
+        different devices run concurrently)."""
+        import jax
+
         z_mont, z_canon = self._encode_witness(assignment)
-        accs = self._core(z_mont, z_canon)
+        if device_index is None:
+            pts = (self.a_pts, self.b1_pts, self.b2_pts, self.lh_pts)
+        else:
+            d = self.devices[device_index]
+            z_mont = jax.device_put(z_mont, d)
+            z_canon = jax.device_put(z_canon, d)
+            pts = self._dev_pts[device_index]
+        sc_a, sc_b1, sc_b2, sc_lh = self._scalars_jit(z_mont, z_canon)
+        return (
+            self._run_msm(self.g1, sc_a, pts[0], self.n_ab),
+            self._run_msm(self.g1, sc_b1, pts[1], self.n_ab),
+            self._run_msm(self.g2, sc_b2, pts[2], self.n_ab),
+            self._run_msm(self.g1, sc_lh, pts[3], self.n_lh),
+        )
+
+    def prove(
+        self,
+        assignment: Sequence[int],
+        r_rand: int = 0,
+        s_rand: int = 0,
+        monolithic: bool = False,
+    ) -> G.Proof:
+        """One proof. `monolithic=True` runs the whole pipeline as a single
+        compiled program (best on-chip latency; ~45 min of XLA:CPU compile),
+        the default dispatches the split shared programs."""
+        if monolithic:
+            z_mont, z_canon = self._encode_witness(assignment)
+            accs = self._core(z_mont, z_canon)
+        else:
+            accs = self._dispatch_proof(assignment, None)
         return self._finish(accs, assignment, r_rand, s_rand)
 
     def prove_batch(
@@ -292,21 +371,19 @@ class DeviceProver:
         assignments: Sequence[Sequence[int]],
         rands: Optional[Sequence[tuple]] = None,
     ) -> List[G.Proof]:
-        """Prove B witnesses of the same circuit in one device dispatch."""
-        import jax.numpy as jnp
-
+        """Prove B independent witnesses; with `replicate_to(devices)` set,
+        proofs round-robin across devices and execute concurrently (async
+        dispatch queues per device) — the multi-chip proofs/sec path."""
         if rands is None:
             rands = [(0, 0)] * len(assignments)
-        enc = [self._encode_witness(a) for a in assignments]
-        z_mont_b = jnp.stack([e[0] for e in enc])
-        z_canon_b = jnp.stack([e[1] for e in enc])
-        accs_b = self._core_batch(z_mont_b, z_canon_b)
-        out = []
-        for i, (assignment, (r_rand, s_rand)) in enumerate(
-            zip(assignments, rands)
-        ):
-            accs = tuple(
-                type(a)(a.x[i], a.y[i], a.z[i]) for a in accs_b
+        n_dev = len(self.devices) if self.devices else 0
+        pending = []
+        for i, assignment in enumerate(assignments):
+            accs = self._dispatch_proof(
+                assignment, i % n_dev if n_dev else None
             )
-            out.append(self._finish(accs, assignment, r_rand, s_rand))
-        return out
+            pending.append(accs)
+        return [
+            self._finish(accs, assignment, r, s)
+            for accs, assignment, (r, s) in zip(pending, assignments, rands)
+        ]

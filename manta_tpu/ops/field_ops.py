@@ -425,15 +425,36 @@ def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     one = jnp.asarray(spec.one_mont_limbs[:, None], dtype=jnp.uint32)
     safe = jnp.where(nz[None, ...], a, jnp.broadcast_to(one, a.shape))
     mul = functools.partial(mont_mul, spec)
-    # prefix[i] = safe[0] * ... * safe[i]
-    prefix = jax.lax.associative_scan(mul, safe, axis=a.ndim - 1)
-    total = prefix[..., -1:]
-    total_inv = inv(spec, total)
-    # suffix_inv[i] = inv(safe[i] * ... * safe[n-1]) = total_inv * prefix[i-1]
+    n = a.shape[-1]
+    levels = max((n - 1).bit_length(), 1)
+    one_full = jnp.broadcast_to(one, a.shape)
+    lane = jnp.arange(n)
+
+    # Hillis-Steele inclusive scans in a ROLLED loop: every level is one
+    # full-width multiply of identical shape, so the whole scan reuses a
+    # single compiled kernel (log-depth associative_scan emits log2(n)
+    # differently-shaped slices, each a separate minutes-long Mosaic
+    # compile on TPU). 2x the multiplies of a work-efficient scan —
+    # irrelevant next to the compile-time win.
+    def fwd_level(i, x):
+        shift = jnp.int32(1) << i
+        rolled = jnp.where(lane < shift, one_full, jnp.roll(x, shift, axis=-1))
+        return mul(x, rolled)
+
+    def rev_level(i, x):
+        shift = jnp.int32(1) << i
+        rolled = jnp.where(
+            lane >= n - shift, one_full, jnp.roll(x, -shift, axis=-1)
+        )
+        return mul(x, rolled)
+
+    prefix = jax.lax.fori_loop(0, levels, fwd_level, safe)
+    suffix = jax.lax.fori_loop(0, levels, rev_level, safe)
+    total_inv = inv(spec, prefix[..., -1:])
+    # inv(safe[i]) = prefix[i-1] * suffix[i+1] * total_inv
     shifted_prefix = jnp.concatenate(
         [jnp.broadcast_to(one, (*a.shape[:-1], 1)), prefix[..., :-1]], axis=-1
     )
-    suffix = jax.lax.associative_scan(mul, safe, axis=a.ndim - 1, reverse=True)
     shifted_suffix = jnp.concatenate(
         [suffix[..., 1:], jnp.broadcast_to(one, (*a.shape[:-1], 1))], axis=-1
     )

@@ -285,7 +285,10 @@ def _flatten_lanes(curve, pt: JacobianPoint):
     n = 1
     for d in batch_shape:
         n *= d
-    n_pad = max(128, -(-n // 128) * 128)
+    # pad to the kernel's lane-block granularity (the grid splits n into
+    # LANE_BLOCK blocks once n exceeds one block)
+    quantum = 128 if n <= LANE_BLOCK else LANE_BLOCK
+    n_pad = max(128, -(-n // quantum) * quantum)
 
     def prep(a):
         flat = a.reshape(*a.shape[:lead], n)

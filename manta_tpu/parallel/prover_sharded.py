@@ -1,0 +1,131 @@
+"""Multi-chip Groth16 proving.
+
+Strategy (BASELINE config 5; the reference scales `ark_groth16::prove`
+across rayon cores — SURVEY.md §2.10): proofs are independent, so the
+witness batch is data-parallel over the mesh. Each stage of the
+device-resident pipeline (`models.groth16_device.DeviceProver`) runs as
+its OWN `shard_map` program — scalar pipeline, then the four MSMs — so
+every device proves its local witness concurrently with no collectives
+on the hot path, and each SPMD executable stays small enough to compile
+quickly (a monolithic all-MSM program costs ~45 min of XLA:CPU codegen;
+the split pieces compile in minutes and persist in the compile cache).
+
+For one giant circuit there is also the latency path: point-sharded MSMs
+(`parallel.msm_sharded`) + coefficient-sharded NTTs
+(`parallel.ntt_sharded`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from manta_tpu.models import groth16 as G
+from manta_tpu.models.groth16_device import DeviceProver
+from manta_tpu.ops import msm as M
+from manta_tpu.ops.curve import JacobianPoint
+from manta_tpu.parallel.mesh import DATA_AXIS
+
+
+def _batch_spec(rank: int):
+    return P(DATA_AXIS, *([None] * (rank - 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_program(cops, mesh, window_bits, steps, scalar_bits, crank):
+    """Batch-DP MSM: (B, S_L, n) scalars sharded on B, replicated points;
+    each device runs the full Pippenger kernel on its local witness."""
+
+    def local(sc, px, py, pz):
+        r = M.msm(
+            cops,
+            sc[0],
+            JacobianPoint(px, py, pz),
+            window_bits,
+            False,
+            steps,
+            scalar_bits,
+            True,
+        )
+        return r.x[None], r.y[None], r.z[None]
+
+    pt_spec = P(*([None] * crank))
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None), pt_spec, pt_spec, pt_spec),
+            out_specs=(
+                P(DATA_AXIS, *([None] * crank)),
+            ) * 3,
+            check_vma=False,
+        )
+    )
+
+
+def prove_batch_sharded(
+    prover: DeviceProver,
+    assignments: Sequence[Sequence[int]],
+    mesh,
+    rands: Optional[Sequence[tuple]] = None,
+) -> List[G.Proof]:
+    """Prove B witnesses with the batch axis sharded across `mesh`
+    (B must be a multiple of the mesh size; one witness per device per
+    wave). Query points stay HBM-resident and replicated."""
+    B = len(assignments)
+    D = mesh.devices.size
+    assert B % D == 0, f"batch {B} not divisible by mesh size {D}"
+    if rands is None:
+        rands = [(0, 0)] * B
+
+    def scalars_local(zm, zc):
+        return prover._prove_scalars(zm[0], zc[0])
+
+    scalars_sh = jax.jit(
+        jax.shard_map(
+            lambda zm, zc: tuple(
+                s[None] for s in scalars_local(zm, zc)
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None),) * 2,
+            out_specs=(P(DATA_AXIS, None, None),) * 4,
+            check_vma=False,
+        )
+    )
+
+    proofs: List[G.Proof] = []
+    for wave in range(0, B, D):
+        batch = assignments[wave : wave + D]
+        enc = [prover._encode_witness(a) for a in batch]
+        zm = jnp.stack([e[0] for e in enc])
+        zc = jnp.stack([e[1] for e in enc])
+        sc_a, sc_b1, sc_b2, sc_lh = scalars_sh(zm, zc)
+
+        def run(cops, sc_b, pts, n):
+            crank = pts.x.ndim
+            prog = _sharded_msm_program(
+                cops,
+                mesh,
+                prover.window_bits,
+                min(n, prover.column_steps),
+                prover.fr.bits,
+                crank,
+            )
+            return prog(sc_b, pts.x, pts.y, pts.z)
+
+        a_b = run(prover.g1, sc_a, prover.a_pts, prover.n_ab)
+        b1_b = run(prover.g1, sc_b1, prover.b1_pts, prover.n_ab)
+        b2_b = run(prover.g2, sc_b2, prover.b2_pts, prover.n_ab)
+        lh_b = run(prover.g1, sc_lh, prover.lh_pts, prover.n_lh)
+        for i, assignment in enumerate(batch):
+            accs = tuple(
+                JacobianPoint(t[0][i], t[1][i], t[2][i])
+                for t in (a_b, b1_b, b2_b, lh_b)
+            )
+            r_rand, s_rand = rands[wave + i]
+            proofs.append(prover._finish(accs, assignment, r_rand, s_rand))
+    return proofs

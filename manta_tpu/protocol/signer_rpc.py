@@ -65,31 +65,9 @@ class SignerServer:
                 length = int(self.headers.get("Content-Length", 0))
                 data = json.loads(self.rfile.read(length) or b"{}")
                 try:
-                    with outer.lock:
-                        if self.path == "/sync":
-                            deltas = outer.signer.sync(outer.ledger)
-                            self._reply(
-                                200,
-                                {"deltas": {str(k): v for k, v in deltas.items()}},
-                            )
-                        elif self.path == "/address":
-                            self._reply(
-                                200, {"address": RPC._point(outer.signer.address)}
-                            )
-                        elif self.path == "/balance":
-                            self._reply(
-                                200,
-                                {
-                                    "balance": outer.signer.balance(
-                                        int(data["asset_id"])
-                                    )
-                                },
-                            )
-                        elif self.path == "/sign":
-                            post = outer._sign(data)
-                            self._reply(200, {"post": RPC.encode_post(post)})
-                        else:
-                            self._reply(404, {"error": "unknown endpoint"})
+                    self._reply(200, outer.handle(self.path.lstrip("/"), data))
+                except KeyError:
+                    self._reply(404, {"error": "unknown endpoint"})
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001
@@ -98,6 +76,22 @@ class SignerServer:
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
         self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def handle(self, method: str, data: dict) -> dict:
+        """Transport-agnostic request dispatch (shared by the HTTP daemon
+        and the WebSocket binding, `protocol/websocket.py`)."""
+        with self.lock:
+            if method == "sync":
+                deltas = self.signer.sync(self.ledger)
+                return {"deltas": {str(k): v for k, v in deltas.items()}}
+            if method == "address":
+                return {"address": RPC._point(self.signer.address)}
+            if method == "balance":
+                return {"balance": self.signer.balance(int(data["asset_id"]))}
+            if method == "sign":
+                post = self._sign(data)
+                return {"post": RPC.encode_post(post)}
+            raise KeyError(method)
 
     def _sign(self, data: dict):
         kind = data["kind"]

@@ -189,30 +189,27 @@ class Signer:
             if not c.spent and c.plaintext.asset.id == asset_id
         )
 
+    def asset_map(self) -> A.AssetMap:
+        """Unspent coins as a keyed AssetMap ((shard, index) keys —
+        reference `asset.rs:690` + `signer/base.rs` UtxoAccumulator keys)."""
+        amap = A.AssetMap()
+        for c in self.coins:
+            if not c.spent:
+                amap.insert((c.shard, c.index), c.plaintext.asset)
+        return amap
+
     def select(self, asset_id: int, value: int) -> List[OwnedCoin]:
-        """Greedy smallest-first selection covering `value`; may return more
-        than 2 coins — `_spend_parts` consolidates the surplus through
-        intermediate join-split PrivateTransfers (the reference's batched
-        transactions, `functions.rs:748`)."""
-        available = sorted(
-            (
-                c
-                for c in self.coins
-                if not c.spent and c.plaintext.asset.id == asset_id
-            ),
-            key=lambda c: c.plaintext.asset.value,
-        )
-        # a single coin that covers, else accumulate largest-first
-        for c in available:
-            if c.plaintext.asset.value >= value:
-                return [c]
-        chosen, total = [], 0
-        for c in reversed(available):
-            chosen.append(c)
-            total += c.plaintext.asset.value
-            if total >= value:
-                return chosen
-        raise ValueError(f"insufficient private balance for asset {asset_id}")
+        """Coin selection via `AssetMap.select` (reference
+        `functions.rs:490`); may return more than 2 coins —
+        `_spend_parts` consolidates the surplus through intermediate
+        join-split PrivateTransfers (`functions.rs:748`)."""
+        selection = self.asset_map().select(A.Asset(asset_id, value))
+        if selection.is_empty():
+            raise ValueError(f"insufficient private balance for asset {asset_id}")
+        by_key = {
+            (c.shard, c.index): c for c in self.coins if not c.spent
+        }
+        return [by_key[key] for key in selection.keys]
 
     # -- internal builders --
 

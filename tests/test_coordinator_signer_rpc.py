@@ -127,3 +127,38 @@ def test_signer_rpc_end_to_end(tp_keys):
     finally:
         signer_srv.stop()
         ledger_srv.stop()
+
+
+def test_signer_websocket_end_to_end(tp_keys):
+    """Same wallet->signer->ledger flow over one persistent WebSocket
+    (reference `signer/client/websocket.rs:40-47`)."""
+    from manta_tpu.protocol import websocket as WS
+
+    ledger = L.Ledger(CFG_T, tp_keys)
+    ledger.deposit("fred", 4, 300)
+    ledger_srv = RPC.LedgerServer(ledger).start()
+    signer = W.Signer(CFG_T, tp_keys, 66666, random.Random(9))
+    ws_srv = WS.WsSignerServer(
+        signer, f"http://127.0.0.1:{ledger_srv.port}"
+    ).start()
+    try:
+        client = WS.WsSignerClient("127.0.0.1", ws_srv.port)
+        assert client.ping()
+        addr = client.address()
+        assert addr == signer.address
+        post = client.sign("to_private", N.Asset(4, 120))
+        ledger_client = RPC.LedgerClient(f"http://127.0.0.1:{ledger_srv.port}")
+        ledger_client.push(post, sources=["fred"])
+        deltas = client.sync()
+        assert deltas.get(4) == 120
+        assert client.balance(4) == 120
+        # unknown method surfaces as an error, connection stays usable
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            client._call("nope")
+        assert client.balance(4) == 120
+        client.close()
+    finally:
+        ws_srv.stop()
+        ledger_srv.stop()

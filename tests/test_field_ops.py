@@ -85,6 +85,12 @@ class TestFieldOps:
         got = F.decode_ints(spec, F.batch_inv_jit(spec, a))
         expected = [pow(x, -1, p) if x else 0 for x in xs]
         assert got == expected
+        # non-power-of-two lane count (rolled Hillis-Steele edge masking)
+        xs_odd = xs[:13]
+        got_odd = F.decode_ints(
+            spec, F.batch_inv_jit(spec, F.encode_ints(spec, xs_odd))
+        )
+        assert got_odd == expected[:13]
 
     def test_lazy_accumulation_redc(self, spec, rng):
         """Sum of 8 schoolbook products reduced with a single REDC."""

@@ -30,8 +30,9 @@ enable_compile_cache()
 
 LOG2N = int(os.environ.get("PROF_LOG2N", "20"))
 N = 1 << LOG2N
-C = 13
-B = 1 << C
+C = int(os.environ.get("PROF_WINDOW", "16"))
+SIGNED = os.environ.get("PROF_SIGNED", "1") == "1"
+B = (1 << (C - 1)) + 1 if SIGNED else 1 << C
 L = 24
 K = 128
 R = N // K
@@ -173,6 +174,57 @@ def main():
     py = jnp.tile(P.y.reshape(1, L, R), (K, 1, 1))
     t = bench(f"fused column dbl-branch (K={K}, L={L}, R={R})", col_j, px, py, qinf, head)
     print(f"  => per-window {t:.3f}s; x20 windows = {20*t:.2f}s", flush=True)
+
+    # -- the non-column window phases, at real geometry --
+    from manta_tpu.ops import msm as M
+
+    num_windows = -(-255 // C) if SIGNED else -(-272 // C)
+    bx = jnp.asarray(rng.integers(0, 1 << 16, size=(L, B), dtype=np.uint32))
+    by = jnp.asarray(rng.integers(0, 1 << 16, size=(L, B), dtype=np.uint32))
+    bz = jnp.asarray(rng.integers(0, 1 << 16, size=(L, B), dtype=np.uint32))
+    buckets = JacobianPoint(bx, by, bz)
+    if SIGNED:
+        red_j = jax.jit(
+            lambda x, y, z: tuple(
+                M._weighted_reduce_signed(fops, JacobianPoint(x, y, z), C)
+            )
+        )
+    else:
+        red_j = jax.jit(
+            lambda x, y, z: tuple(
+                M._weighted_reduce(fops, JacobianPoint(x, y, z), C)
+            )
+        )
+    t = bench(f"weighted_reduce (B={B}, fused)", red_j, bx, by, bz)
+    print(f"  => x{num_windows} windows = {num_windows*t:.2f}s", flush=True)
+
+    sc = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(16, N), dtype=np.uint32)
+    )
+    dig_j = jax.jit(lambda s: M.window_digits_signed(s, C, 255))
+    t = bench(f"window_digits_signed (2^{LOG2N}, c={C})", dig_j, sc)
+
+    fold_j = jax.jit(
+        lambda d, ax, ay, az, x, y, z: tuple(
+            M._fold_partials(
+                fops,
+                JacobianPoint(ax, ay, az),
+                d,
+                JacobianPoint(x, y, z),
+                B,
+            )
+        )
+    )
+    d_t = jnp.asarray(
+        np.sort(rng.integers(0, B, size=(N,), dtype=np.uint32))
+        .reshape(R, K)
+        .T.copy()
+    )
+    ax = jnp.asarray(rng.integers(0, 1 << 16, size=(L, R), dtype=np.uint32))
+    t = bench(
+        f"fold_partials (R={R})", fold_j, d_t, ax, ax, ax, bx, by, bz
+    )
+    print(f"  => x{num_windows} windows = {num_windows*t:.2f}s", flush=True)
 
 
 if __name__ == "__main__":
