@@ -242,6 +242,12 @@ class CurveOps:
     def is_infinity(self, pt: JacobianPoint):
         return self.ops.is_zero(pt.z)
 
+    def affine_infinity_mask(self, pt: JacobianPoint):
+        """Infinity test for encoder-produced affine batches (Z in {0,1}).
+        Same as `is_infinity` here; representation-specific backends
+        override it with a cheaper exact check."""
+        return self.is_infinity(pt)
+
     def double(self, pt: JacobianPoint) -> JacobianPoint:
         """dbl-2009-l (a = 0). Handles infinity (Z=0 -> Z3=0) for free, and
         y = 0 points don't exist on prime-order a=0 curves with b != 0."""
@@ -466,6 +472,10 @@ def curve_ops_for(
         from manta_tpu.ops.pallas import point_kernels as PK
 
         return PK.fused_curve_ops_for(curve)
+    if backend == "rns_fused":
+        from manta_tpu.ops.pallas import rns_kernels as RK
+
+        return RK.rns_fused_curve_ops_for(curve)
     if backend == "limb" and curve.name in _NAMED:
         return _NAMED[curve.name]
     return _ops_cache(curve, backend)

@@ -318,7 +318,7 @@ def _bucket_sums_fused(
 
     px, py = gather_kt(points.x), gather_kt(points.y)
     qinf = jnp.take(
-        cops.is_infinity(points).astype(jnp.int32), perm
+        cops.affine_infinity_mask(points).astype(jnp.int32), perm
     ).reshape(steps, lanes)
     ox, oy, oz = cops.run_columns(px, py, qinf, head)
 
