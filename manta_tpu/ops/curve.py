@@ -184,10 +184,13 @@ class CurveOps:
     @functools.cached_property
     def ops(self):
         if self.backend == "rns":
-            assert not self.curve.is_ext, "RNS backend: prime-field curves only"
-            from manta_tpu.ops.rns import RnsCoordOps
+            from manta_tpu.ops.rns import RnsCoordOps, RnsFq2CoordOps
 
-            return RnsCoordOps(self.curve.field)
+            return (
+                RnsFq2CoordOps(self.curve.field)
+                if self.curve.is_ext
+                else RnsCoordOps(self.curve.field)
+            )
         return Fq2Ops(self.curve.field) if self.curve.is_ext else CoordOps(
             self.curve.field
         )

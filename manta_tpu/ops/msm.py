@@ -69,7 +69,9 @@ def window_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
 def _fused(cops: C.CurveOps) -> bool:
     """Fused-kernel backend: whole point formulas (and the column loop) run
     as single Pallas kernels (`manta_tpu.ops.pallas.point_kernels`)."""
-    return hasattr(cops, "run_columns")
+    return hasattr(cops, "run_columns") and getattr(
+        cops, "column_kernel_ok", lambda: True
+    )()
 
 
 def window_digits_signed(

@@ -49,9 +49,11 @@ COLUMN_LANE_BLOCK = 256
 COLUMN_STEP_BLOCK = 8
 LANE_BLOCK = 512
 
-#: zero-class count: values are <= 2^11.2 multiples of p (RnsCurveOps
-#: bound audit) plus the sub_k offsets; 2^12 rows cover every call site.
-N_ZERO_CLASSES = 1 << 12
+#: zero-class count: base-field values are <= 2^11.2 multiples of p
+#: (RnsCurveOps bound audit) plus the sub_k offsets; Fq2 components run
+#: one bit wider (schoolbook mul outputs <= 2^7·p per component, every
+#: offset shifted +1) — 2^13 rows cover every call site of both.
+N_ZERO_CLASSES = 1 << 13
 
 
 @functools.lru_cache(maxsize=1)
@@ -348,6 +350,77 @@ class _KernelRnsOps:
         return jnp.broadcast_to(one, a.shape)
 
 
+class _KernelRnsFq2Ops:
+    """Fq[u]/(u^2+1) over stacked (2, Kt, lanes) in-kernel RNS arrays.
+
+    Schoolbook multiplication (4 base muls) keeps component bounds at
+    <= 2^7·p — one bit wider than the base field's 2^6·p — so every
+    `sub_k` offset the bound-annotated curve formulas request is shifted
+    +1 here (max literal 11 -> 12 < the off13 table cap)."""
+
+    def __init__(self, base: _KernelRnsOps):
+        self.base = base
+
+    def _map2(self, fn, *arrs):
+        return jnp.stack(
+            [fn(*(a[0] for a in arrs)), fn(*(a[1] for a in arrs))]
+        )
+
+    def mul(self, a, b):
+        base = self.base
+        t0 = base.mul(a[0], b[0])
+        t1 = base.mul(a[1], b[1])
+        c0 = base.sub_k(t0, t1, 6)  # u^2 = -1; bound <= 2^7
+        c1 = base.add(base.mul(a[0], b[1]), base.mul(a[1], b[0]))
+        return jnp.stack([c0, c1])
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        return self._map2(self.base.add, a, b)
+
+    def add_raw(self, a, b):
+        return self._map2(self.base.add, a, b)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def double_raw(self, a):
+        return self.add(a, a)
+
+    def triple(self, a):
+        return self.add(self.add(a, a), a)
+
+    def sub_k(self, a, b, k: int):
+        return self._map2(lambda x, y: self.base.sub_k(x, y, k + 1), a, b)
+
+    def sub(self, a, b):
+        return self.sub_k(a, b, 12)
+
+    def neg(self, a):
+        return self.sub_k(jnp.zeros_like(a), a, 12)
+
+    def is_zero(self, a):
+        return jnp.logical_and(
+            self.base.is_zero(a[0]), self.base.is_zero(a[1])
+        )
+
+    def eq(self, a, b):
+        return self.is_zero(self.sub_k(a, b, 11))
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None, None, ...], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return jnp.stack(
+            [self.base.one_like(a[0]), jnp.zeros_like(a[1])]
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class _RnsKernelCurve(C.RnsCurveOps):
     """Bound-annotated RNS formulas over in-kernel f32 ops. `kops` is set
@@ -452,11 +525,19 @@ def _rns_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
 # ---------------------------------------------------------------------------
 
 
+def _make_kops(curve, spec, names, fv, am, zt, zn):
+    kops = _KernelRnsOps(spec, fv, am, zt, zn, names)
+    if curve.is_ext:
+        kops = _KernelRnsFq2Ops(kops)
+    return kops
+
+
 @functools.lru_cache(maxsize=None)
 def _rns_point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
     spec = R.default_spec(curve.field)
     names, fvec, amat, ztab, znorm = _tables(spec)
     Kt = spec.k1 + spec.k2 + 1
+    ext = curve.is_ext
     n_in = {"add": 6, "madd": 6, "double": 3}[which]
     block = min(LANE_BLOCK, n)
     assert n % block == 0
@@ -465,7 +546,7 @@ def _rns_point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
         fv, am, zt, zn = refs[:4]
         ins = refs[4 : 4 + n_in]
         outs = refs[4 + n_in :]
-        kops = _KernelRnsOps(spec, fv[...], am[...], zt[...], zn[...], names)
+        kops = _make_kops(curve, spec, names, fv[...], am[...], zt[...], zn[...])
         kc = _RnsKernelCurve(curve, backend="rns_kernel", kops=kops)
         load = lambda r: r[...].astype(jnp.float32)
         p = JacobianPoint(load(ins[0]), load(ins[1]), load(ins[2]))
@@ -478,14 +559,19 @@ def _rns_point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
         outs[1][...] = out.y.astype(jnp.int32)
         outs[2][...] = out.z.astype(jnp.int32)
 
-    cspec = pl.BlockSpec((Kt, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cdims = (2, Kt) if ext else (Kt,)
+    cspec = pl.BlockSpec(
+        (*cdims, block),
+        (lambda i: (0, 0, i)) if ext else (lambda i: (0, i)),
+        memory_space=pltpu.VMEM,
+    )
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((Kt, n), jnp.int32) for _ in range(3)
+            jax.ShapeDtypeStruct((*cdims, n), jnp.int32) for _ in range(3)
         ),
         grid=(n // block,),
         in_specs=[
@@ -500,8 +586,10 @@ def _rns_point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
     )
 
 
-def _flatten(pt: JacobianPoint):
-    batch_shape = pt.x.shape[1:]
+def _flatten(pt: JacobianPoint, lead: int):
+    """(lead coord dims..., batch...) -> (..., n) padded to the block
+    quantum; all-zero residue padding reads as infinity (value 0)."""
+    batch_shape = pt.x.shape[lead:]
     n = 1
     for d in batch_shape:
         n *= d
@@ -509,10 +597,9 @@ def _flatten(pt: JacobianPoint):
     n_pad = max(128, -(-n // quantum) * quantum)
 
     def prep(a):
-        flat = a.reshape(a.shape[0], n)
+        flat = a.reshape(*a.shape[:lead], n)
         if n_pad != n:
-            # all-zero residues = value 0 => z channel reads as infinity
-            pad = jnp.zeros((a.shape[0], n_pad - n), a.dtype)
+            pad = jnp.zeros((*a.shape[:lead], n_pad - n), a.dtype)
             flat = jnp.concatenate([flat, pad], axis=-1)
         return flat
 
@@ -524,16 +611,31 @@ def _flatten(pt: JacobianPoint):
     )
 
 
-def _unflatten(arrs, batch_shape, n):
+def _unflatten(arrs, batch_shape, n, lead: int):
     return JacobianPoint(
-        *(a[:, :n].reshape(a.shape[0], *batch_shape) for a in arrs)
+        *(a[..., :n].reshape(*a.shape[:lead], *batch_shape) for a in arrs)
     )
+
+
+def _check_coord_shape(curve, spec, pt: JacobianPoint, lead: int):
+    Kt = spec.k1 + spec.k2 + 1
+    want = (2, Kt) if lead == 2 else (Kt,)
+    for a in (pt.x, pt.y, pt.z):
+        if a.ndim < lead + 1 or tuple(a.shape[:lead]) != want:
+            raise ValueError(
+                f"{curve.name}: RNS coordinate shape {tuple(a.shape)} does "
+                f"not start with {want} (+ batch dims)"
+            )
 
 
 def _run_point_op(curve, which, p: JacobianPoint, q=None):
     spec = R.default_spec(curve.field)
     names, fvec, amat, ztab, znorm = _tables(spec)
-    pf, bshape, n, n_pad = _flatten(p)
+    lead = 2 if curve.is_ext else 1
+    _check_coord_shape(curve, spec, p, lead)
+    if q is not None:
+        _check_coord_shape(curve, spec, q, lead)
+    pf, bshape, n, n_pad = _flatten(p, lead)
     consts = (
         jnp.asarray(fvec),
         jnp.asarray(amat),
@@ -543,9 +645,9 @@ def _run_point_op(curve, which, p: JacobianPoint, q=None):
     if q is None:
         out = _rns_point_op(curve, which, n_pad)(*consts, *pf)
     else:
-        qf, _, _, _ = _flatten(q)
+        qf, _, _, _ = _flatten(q, lead)
         out = _rns_point_op(curve, which, n_pad)(*consts, *pf, *qf)
-    return _unflatten(out, bshape, n)
+    return _unflatten(out, bshape, n, lead)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -568,7 +670,13 @@ class RnsFusedCurveOps(C.CurveOps):
     def double(self, p: JacobianPoint) -> JacobianPoint:
         return _run_point_op(self.curve, "double", p)
 
+    def column_kernel_ok(self) -> bool:
+        # the fused column kernel is G1-only for now; Fq2 MSMs fall back
+        # to the rolled bucket loop over the fused single-op kernels
+        return not self.curve.is_ext
+
     def run_columns(self, px, py, qinf, head):
+        assert not self.curve.is_ext
         ox, oy, oz = rns_accumulate_columns(self.curve, px, py, qinf, head)
         return (
             ox.astype(jnp.int32),
@@ -579,7 +687,7 @@ class RnsFusedCurveOps(C.CurveOps):
     def affine_infinity_mask(self, pt: JacobianPoint):
         """Infinity test for ENCODED affine batches (z residues exactly 0
         or the canonical 1-vector) — avoids the general zero-class scan."""
-        return jnp.all(pt.z == 0, axis=0)
+        return jnp.all(pt.z == 0, axis=tuple(range(pt.z.ndim - 1)))
 
 
 @functools.lru_cache(maxsize=None)

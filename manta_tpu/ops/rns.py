@@ -546,6 +546,111 @@ class RnsCoordOps:
         return decode_ints(self.spec, rep)
 
 
+class RnsFq2CoordOps:
+    """Fq[u]/(u^2+1) over stacked (2, Kt, ...) packed RNS arrays — the
+    XLA-level extension-field backend (G2 curves). Mirrors the limb
+    `Fq2Ops`; per-component ops delegate to `RnsCoordOps` (renormalizing
+    policy, used for the low-rate plumbing around fused kernels)."""
+
+    def __init__(self, field: fields.FieldSpec):
+        self.field = field
+        self.base = RnsCoordOps(field)
+        self.spec = self.base.spec
+
+    def _map2(self, fn, *arrs):
+        return jnp.stack(
+            [fn(*(a[0] for a in arrs)), fn(*(a[1] for a in arrs))]
+        )
+
+    def mul(self, a, b):
+        base = self.base
+        t0 = base.mul(a[0], b[0])
+        t1 = base.mul(a[1], b[1])
+        c0 = packed_renorm(self.spec, packed_sub_k(self.spec, t0, t1, 6))
+        c1 = base.add(base.mul(a[0], b[1]), base.mul(a[1], b[0]))
+        return jnp.stack([c0, c1])
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        return self._map2(self.base.add, a, b)
+
+    def sub(self, a, b):
+        # component bounds reach 2^7·p (unrenormalized Fq2 mul c1): use a
+        # 2^7 offset where the base field uses 2^6
+        return self._map2(
+            lambda x, y: packed_renorm(
+                self.spec, packed_sub_k(self.spec, x, y, 7)
+            ),
+            a,
+            b,
+        )
+
+    def neg(self, a):
+        return self.sub(jnp.zeros_like(a), a)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def triple(self, a):
+        return self.add(self.add(a, a), a)
+
+    # -- raw (bound-annotated) variants: component bounds run one bit
+    # wider than the base field (schoolbook Fq2 mul <= 2^7·p), so every
+    # requested sub_k offset shifts +1 --
+
+    def add_raw(self, a, b):
+        return self._map2(self.base.add_raw, a, b)
+
+    def double_raw(self, a):
+        return self.add_raw(a, a)
+
+    def sub_k(self, a, b, k: int):
+        return self._map2(lambda x, y: self.base.sub_k(x, y, k + 1), a, b)
+
+    def is_zero(self, a):
+        return jnp.logical_and(
+            self.base.is_zero(a[0]), self.base.is_zero(a[1])
+        )
+
+    def eq(self, a, b):
+        return jnp.logical_and(
+            self.base.eq(a[0], b[0]), self.base.eq(a[1], b[1])
+        )
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None, None, ...], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return jnp.stack(
+            [self.base.one_like(a[0]), jnp.zeros_like(a[1])]
+        )
+
+    def batch_inv(self, a):
+        # (a0 + a1 u)^-1 = (a0 - a1 u) / (a0^2 + a1^2)
+        base = self.base
+        norm = base.add(base.sqr(a[0]), base.sqr(a[1]))
+        n_inv = base.batch_inv(norm)
+        return jnp.stack(
+            [base.mul(a[0], n_inv), base.neg(base.mul(a[1], n_inv))]
+        )
+
+    def encode(self, values, montgomery=True):
+        c0 = self.base.encode([v[0] for v in values], montgomery)
+        c1 = self.base.encode([v[1] for v in values], montgomery)
+        return np.stack([c0, c1])
+
+    def decode(self, arr, montgomery=True):
+        arr = np.asarray(jax.device_get(arr))
+        c0 = self.base.decode(arr[0], montgomery)
+        c1 = self.base.decode(arr[1], montgomery)
+        return list(zip(c0, c1))
+
+
 # ---------------------------------------------------------------------------
 # Packed-layout ops: everything on the single (K, ...) array — no per-op
 # unpack/repack concatenation traffic (the naive tuple wrappers cost more

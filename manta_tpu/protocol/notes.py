@@ -120,10 +120,15 @@ def decrypt_incoming(
 
 
 def _aes_key(shared) -> bytes:
-    h = hashlib.blake2s(digest_size=32)
-    h.update(b"manta-tpu/aes-key-derivation")
-    h.update(_point_unchecked_bytes(shared))
-    return h.digest()
+    """Reference `config/utxo.rs:907-917` (IncomingAESConverter::as_target):
+    Blake2s256 over the COMPRESSED shared point (`Group::to_vec` =
+    CanonicalSerialize, `arkworks/algebra.rs:96-104`), untagged."""
+    from manta_tpu.utils import codec
+
+    return hashlib.blake2s(
+        codec.serialize_edwards_compressed(shared, CFG.EMBEDDED),
+        digest_size=32,
+    ).digest()
 
 
 def _plaintext_bytes(plaintext: IncomingPlaintext) -> bytes:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
+from manta_tpu.protocol import asset as A
 from manta_tpu.protocol import circuits as TC
 from manta_tpu.protocol import config as CFG
 from manta_tpu.protocol import keys as K

@@ -38,18 +38,28 @@ def _poseidon_setup(fr, rng, arity=2):
     return matrices, assignment, digest
 
 
+_SLOW = pytest.mark.skipif(
+    __import__("os").environ.get("MANTA_SLOW_TESTS") != "1",
+    reason="XLA:CPU spends ~40s of LLVM codegen per G2 point-formula "
+    "instantiation; the BLS12-381 prover variant is opt-in "
+    "(MANTA_SLOW_TESTS=1). BN254 covers the pipeline on every run.",
+)
+
+
 @pytest.mark.parametrize(
     "cfg,fr",
     [
         (PR.BN254_PAIRING, fields.BN254_FR),
-        (PR.BLS12_381_PAIRING, fields.BLS12_381_FR),
+        pytest.param(
+            PR.BLS12_381_PAIRING, fields.BLS12_381_FR, marks=_SLOW
+        ),
     ],
     ids=["bn254", "bls12-381"],
 )
 def test_device_prover_matches_host(cfg, fr, rng):
     matrices, assignment, digest = _poseidon_setup(fr, rng)
     pk, vk = G.setup(cfg, matrices, seed=3)
-    prover = GD.DeviceProver(pk, matrices, backend="limb", column_steps=16)
+    prover = GD.DeviceProver(pk, matrices, backend="rns_fused", column_steps=16)
     proof = prover.prove(assignment, r_rand=5, s_rand=9)
     assert G.verify(vk, proof, [digest])
     assert not G.verify(vk, proof, [(digest + 1) % fr.modulus])
@@ -77,7 +87,7 @@ def test_device_prover_batch(rng):
 
     (matrices, _), _ = make(None)
     pk, vk = G.setup(cfg, matrices, seed=8)
-    prover = GD.DeviceProver(pk, matrices, backend="limb", column_steps=16)
+    prover = GD.DeviceProver(pk, matrices, backend="rns_fused", column_steps=16)
     cases = []
     for _ in range(3):
         vals = [rng.randrange(fr.modulus) for _ in range(2)]

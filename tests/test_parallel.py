@@ -86,3 +86,63 @@ def test_sharded_ntt_roundtrip(rng):
     np.testing.assert_array_equal(
         np.asarray(F.normalize(spec, back)), np.asarray(F.normalize(spec, a))
     )
+
+
+def test_sharded_msm_bls12_381(rng):
+    """Production-curve sharded MSM on the mesh (same program shapes as
+    the driver's dryrun_multichip, so this run pre-warms its cache)."""
+    import numpy as np
+
+    from manta_tpu.utils import hostmath
+
+    curve = hostmath.BLS12_381_G1
+    n = int(np.clip(int(__import__("os").environ.get(
+        "MANTA_SHARDED_MSM_LOG2N", "7")), 7, 18))
+    n = 1 << n
+    # rns_fused: the limb backend's XLA:CPU compile of a production-curve
+    # MSM takes ~40 min and its multi-GB executable segfaults the
+    # persistent-cache write (compilation_cache.put_executable_and_time)
+    ops = C.curve_ops_for(curve, "rns_fused")
+    mesh = MESH.data_mesh()
+    g = curve.generator
+    points = [curve.scalar_mul(k + 1, g) for k in range(min(n, 512))]
+    points = (points * (n // len(points) + 1))[:n]
+    scalars = [rng.randrange(curve.scalar_field.modulus) for _ in range(n)]
+    expected = curve.msm(scalars, points)
+    sc = jnp.asarray(
+        F.encode_ints(curve.scalar_field, scalars, montgomery=False)
+    )
+    pts = ops.encode_points(points)
+    result = jax.jit(sharded_msm, static_argnums=(0, 3, 4, 5, 6, 7))(
+        ops, sc, pts, mesh, 8, 16, curve.scalar_field.bits, True
+    )
+    assert ops.decode_points(result) == [expected]
+
+
+def test_sharded_prove_verifies():
+    """Batch-DP sharded prove over the mesh; every proof verifies.
+    Mirrors dryrun_multichip's shapes exactly (shared compile cache)."""
+    import random
+
+    from __graft_entry__ import _poseidon_preimage_circuit, _small_prover
+    from manta_tpu import fields
+    from manta_tpu.models import groth16 as G
+    from manta_tpu.parallel.prover_sharded import prove_batch_sharded
+
+    mesh = MESH.data_mesh()
+    prover, matrices, vk = _small_prover()
+    rng = random.Random(23)
+    fr = fields.BN254_FR
+    cases = []
+    for _ in range(mesh.devices.size):
+        vals = [rng.randrange(fr.modulus) for _ in range(2)]
+        _, assignment, digest, _ = _poseidon_preimage_circuit("prove", vals)
+        cases.append((assignment, digest))
+    proofs = prove_batch_sharded(
+        prover,
+        [a for a, _ in cases],
+        mesh,
+        rands=[(i + 1, i + 3) for i in range(len(cases))],
+    )
+    for proof, (_, digest) in zip(proofs, cases):
+        assert G.verify(vk, proof, [digest])
