@@ -443,12 +443,17 @@ def _rns_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
     spec = R.default_spec(curve.field)
     names, fvec, amat, ztab, znorm = _tables(spec)
     Kt = spec.k1 + spec.k2 + 1
-    Rb = min(COLUMN_LANE_BLOCK, Rl)
+    ext = curve.is_ext
+    # ext blocks carry 2x the rows: halve the lane block to stay in VMEM
+    Rb = min(COLUMN_LANE_BLOCK // (2 if ext else 1), Rl)
     Kb = min(COLUMN_STEP_BLOCK, K)
     assert Rl % Rb == 0 and K % Kb == 0
 
+    cdims = (2, Kt) if ext else (Kt,)
     coord_spec = pl.BlockSpec(
-        (Kb, Kt, Rb), lambda r, k: (k, 0, r), memory_space=pltpu.VMEM
+        (Kb, *cdims, Rb),
+        (lambda r, k: (k, 0, 0, r)) if ext else (lambda r, k: (k, 0, r)),
+        memory_space=pltpu.VMEM,
     )
     mask_spec = pl.BlockSpec(
         (Kb, Rb), lambda r, k: (k, r), memory_space=pltpu.VMEM
@@ -458,7 +463,7 @@ def _rns_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
     )
 
     def kernel(fv, am, zt, zn, px, py, qinf, head, ox, oy, oz, sx, sy, sz):
-        kops = _KernelRnsOps(spec, fv[...], am[...], zt[...], zn[...], names)
+        kops = _make_kops(curve, spec, names, fv[...], am[...], zt[...], zn[...])
         kc = _RnsKernelCurve(curve, backend="rns_kernel", kops=kops)
         o = kops
         kb = pl.program_id(1)
@@ -496,8 +501,8 @@ def _rns_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
         sy[...] = ay
         sz[...] = az
 
-    shape = (K, Kt, Rl)
-    scratch = [pltpu.VMEM((Kt, Rb), jnp.float32) for _ in range(3)]
+    shape = (K, *cdims, Rl)
+    scratch = [pltpu.VMEM((*cdims, Rb), jnp.float32) for _ in range(3)]
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -670,13 +675,7 @@ class RnsFusedCurveOps(C.CurveOps):
     def double(self, p: JacobianPoint) -> JacobianPoint:
         return _run_point_op(self.curve, "double", p)
 
-    def column_kernel_ok(self) -> bool:
-        # the fused column kernel is G1-only for now; Fq2 MSMs fall back
-        # to the rolled bucket loop over the fused single-op kernels
-        return not self.curve.is_ext
-
     def run_columns(self, px, py, qinf, head):
-        assert not self.curve.is_ext
         ox, oy, oz = rns_accumulate_columns(self.curve, px, py, qinf, head)
         return (
             ox.astype(jnp.int32),

@@ -159,8 +159,9 @@ def test_rns_fused_msm_matches_host(rng):
 
 def test_rns_fused_g2_msm_matches_host(rng):
     """G2 (Fq2) MSM on the rns_fused backend: the Fq2-over-RNS tower with
-    schoolbook muls and +1-shifted sub_k offsets, rolled bucket loop over
-    fused single-op kernels."""
+    schoolbook muls and +1-shifted sub_k offsets. n=512/steps=4 gives
+    lanes=128, so this exercises the fused COLUMN kernel (ext variant);
+    n=64/steps=16 covers the rolled loop over fused single-op kernels."""
     import jax.numpy as jnp
 
     from manta_tpu.ops import curve as C
@@ -169,19 +170,20 @@ def test_rns_fused_g2_msm_matches_host(rng):
 
     g2curve = hostmath.BN254_G2
     cops = C.curve_ops_for(g2curve, "rns_fused")
-    n = 64
     g = g2curve.generator
-    points = [g2curve.scalar_mul(k + 2, g) for k in range(n)]
-    scalars = [
-        rng.randrange(g2curve.scalar_field.modulus) for _ in range(n)
-    ]
-    expected = g2curve.msm(scalars, points)
-    sc = jnp.asarray(
-        F.encode_ints(g2curve.scalar_field, scalars, montgomery=False)
-    )
-    pts = cops.encode_points(points)
-    out = M.msm_jit(
-        cops, sc, pts, 8, False, 16, g2curve.scalar_field.bits, True
-    )
-    got = cops.decode_points(out)
-    assert got == [expected]
+    base_points = [g2curve.scalar_mul(k + 2, g) for k in range(64)]
+    for n, steps in ((512, 4), (64, 16)):
+        points = (base_points * (n // 64))[:n]
+        scalars = [
+            rng.randrange(g2curve.scalar_field.modulus) for _ in range(n)
+        ]
+        expected = g2curve.msm(scalars, points)
+        sc = jnp.asarray(
+            F.encode_ints(g2curve.scalar_field, scalars, montgomery=False)
+        )
+        pts = cops.encode_points(points)
+        out = M.msm_jit(
+            cops, sc, pts, 8, False, steps, g2curve.scalar_field.bits, True
+        )
+        got = cops.decode_points(out)
+        assert got == [expected], f"n={n} steps={steps}"

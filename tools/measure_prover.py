@@ -43,6 +43,7 @@ from manta_tpu.protocol import notes as N
 WINDOW = int(os.environ.get("PROVER_WINDOW", "13"))
 BATCH = int(os.environ.get("PROVER_BATCH", "4"))
 BACKEND = os.environ.get("PROVER_BACKEND", "fused")
+SHAPE = os.environ.get("PROVER_SHAPE", "to_private")
 
 
 def log(msg):
@@ -75,21 +76,94 @@ def witness_for(cfg, rng, i):
     return assignment, public
 
 
+def spend_witness_for(cfg, rng, i, shape):
+    """Production PrivateTransfer / ToPublic witness: two owned coins in a
+    fresh forest, spent to two receivers (or one receiver + public sink)."""
+    from manta_tpu.protocol import merkle as MK
+    from manta_tpu.protocol import utxo as U
+
+    sk = rng.randrange(1, CFG.EMBEDDED_FR.modulus)
+    context = K.AuthorizationContext(
+        proof_authorization_key=K.proof_authorization_key(cfg, sk)
+    )
+    rk = context.compute_receiving_key(cfg)
+    forest = MK.MerkleForest(cfg)
+    senders = []
+    for j in range(2):
+        pt = N.IncomingPlaintext(
+            utxo_commitment_randomness=rng.randrange(cfg.field.modulus),
+            asset=N.Asset(3, 60 + i + j),
+        )
+        secret = U.SpendSecret(
+            outgoing_ephemeral_secret_key=rng.randrange(
+                1, CFG.EMBEDDED_FR.modulus
+            ),
+            plaintext=pt,
+        )
+        utxo = secret.utxo(cfg, rk)
+        item = U.item_hash(cfg, utxo)
+        proof = forest.insert_item(item)
+        senders.append(
+            TX.make_sender(
+                cfg, context, pt, forest, proof.shard, proof.index,
+                outgoing_esk=secret.outgoing_ephemeral_secret_key,
+            )
+        )
+    auth = K.Authorization.from_spending_key(
+        cfg, sk, rng.randrange(1, CFG.EMBEDDED_FR.modulus)
+    )
+    address = K.address_from_spending_key(cfg, sk)
+    total = sum(s.secret.plaintext.asset.value for s in senders)
+
+    def receiver(value):
+        return TC.make_receiver(
+            cfg,
+            address,
+            rng.randrange(1, CFG.EMBEDDED_FR.modulus),
+            rng.randrange(cfg.field.modulus),
+            N.Asset(3, value),
+        )
+
+    if shape == "private_transfer":
+        data = {
+            "authorization": auth,
+            "senders": senders,
+            "receivers": [receiver(total - 10), receiver(10)],
+        }
+    else:  # to_public: one receiver keeps change, rest exits to a sink
+        data = {
+            "asset_id": 3,
+            "sink_value": 10,
+            "authorization": auth,
+            "senders": senders,
+            "receiver": receiver(total - 10),
+        }
+    com = CC.R1CS(cfg.field, mode="prove")
+    TC.SHAPES[shape](com, cfg, data)
+    matrices, assignment = com.finalize()
+    assert matrices.is_satisfied(assignment)
+    public = assignment[1 : matrices.num_instance]
+    return assignment, public
+
+
 def main():
     log(f"devices: {jax.devices()}")
     cfg = CFG.production()
     rng = random.Random(99)
 
-    log("[prover] building production to_private keys (host setup) ...")
+    log(f"[prover] building production {SHAPE} keys (host setup) ...")
     t0 = time.time()
-    keys = TX.setup_shape(cfg, "to_private", seed=77)
+    keys = TX.setup_shape(cfg, SHAPE, seed=77)
     log(
         f"[prover] setup: {time.time() - t0:.1f}s "
         f"({keys.matrices.num_constraints} constraints, "
         f"domain {keys.pk.domain_size})"
     )
 
-    cases = [witness_for(cfg, rng, i) for i in range(BATCH)]
+    if SHAPE == "to_private":
+        cases = [witness_for(cfg, rng, i) for i in range(BATCH)]
+    else:
+        cases = [spend_witness_for(cfg, rng, i, SHAPE) for i in range(BATCH)]
     log(f"[prover] {BATCH} witnesses built")
 
     t0 = time.time()
@@ -130,7 +204,8 @@ def main():
 
     print(
         {
-            "to_private_split_s": round(split_best, 3),
+            "shape": SHAPE,
+            f"{SHAPE}_split_s": round(split_best, 3),
             "proofs_per_s_batch": round(BATCH / batch_t, 4),
         },
         flush=True,
