@@ -47,6 +47,9 @@ from manta_tpu.utils import hostmath
 
 COLUMN_LANE_BLOCK = 256
 COLUMN_STEP_BLOCK = 8
+# Generic point-op lane block. The fused madd/add bodies keep ~hundreds of
+# (Kt, block) f32 temporaries live on the Mosaic stack (~57MB at 512 lanes,
+# measured), covered by the raised per-kernel vmem_limit_bytes below.
 LANE_BLOCK = 512
 
 #: zero-class count: base-field values are <= 2^11.2 multiples of p
@@ -521,6 +524,7 @@ def _rns_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
         ],
         out_specs=tuple([coord_spec] * 3),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )
 
@@ -587,6 +591,10 @@ def _rns_point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
         ]
         + [cspec] * n_in,
         out_specs=tuple([cspec] * 3),
+        # The fused add/madd bodies keep many (Kt, block) f32 temporaries
+        # live on the Mosaic stack plus the 4.9MB zero-class table; raise
+        # the per-kernel VMEM budget above the 16MB default (v5e has 128MB).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )
 

@@ -283,6 +283,9 @@ class SenderBundle:
     nullifier: int
     proof: MK.MembershipProof
     root: int
+    # Spender-readable spent-asset record, posted next to the nullifier
+    # (reference FullNullifier, `protocol.rs:2762`, `protocol.rs:1330`).
+    outgoing_note: object = None
 
 
 def make_receiver(

@@ -14,7 +14,7 @@ Production parameters:
     Merkle inner hash        = Poseidon arity-2 (width 3)   `utxo.rs:1226`
 - Incoming notes: Poseidon-duplex AEAD over the arity-3 permutation
   (`utxo.rs:745-757`); light incoming + outgoing notes: AES-GCM-256 with
-  fixed zero nonce (`utxo.rs:760-767`).
+  the fixed "random nonce" nonce (`utxo.rs:760-767`, `aes.rs:64`).
 - Merkle forest: 256 trees, HEIGHT = 20 (capacity 2^19, path length 18),
   identity leaf hash, Blake2s shard index (`utxo.rs:1282,1296,1319`).
 

@@ -55,6 +55,9 @@ class Ledger:
         # per-shard ordered log of (utxo commitment, note) for wallet sync
         self.shard_log: Dict[int, List[dict]] = {}
         self.nullifier_log: List[int] = []
+        # spender-readable spent-asset records, parallel to nullifier_log
+        # (reference FullNullifier, `protocol.rs:2762`)
+        self.outgoing_log: List[object] = []
         self.public_balances: Dict[Tuple[str, int], int] = {}  # (account, id)
         for shard in range(cfg.forest_width):
             self._record_root(shard)
@@ -108,6 +111,7 @@ class Ledger:
         for s in post.sender_posts:
             self.nullifiers.add(s["nullifier"])
             self.nullifier_log.append(s["nullifier"])
+            self.outgoing_log.append(s.get("outgoing_note"))
         for r in post.receiver_posts:
             bundle = r["bundle"]
             utxo = bundle.utxo
@@ -135,9 +139,11 @@ class Ledger:
                 receivers[shard] = log[start:]
                 new_indices[shard] = len(log)
         senders = self.nullifier_log[checkpoint.sender_index :]
+        outgoing = self.outgoing_log[checkpoint.sender_index :]
         return {
             "receivers": receivers,
             "senders": senders,
+            "outgoing_notes": outgoing,
             "checkpoint": Checkpoint(
                 receiver_index=tuple(new_indices),
                 sender_index=len(self.nullifier_log),

@@ -12,7 +12,8 @@ over the Poseidon arity-3 permutation:
         ciphertext block = state[1..] AFTER add, then permute
     tag = state[1] after the final permute
 
-Light incoming + outgoing notes: AES-GCM-256 with fixed zero nonce over an
+Light incoming + outgoing notes: AES-GCM-256 with the reference's fixed
+"random nonce" nonce (`crypto/encryption/aes.rs:64`) over an
 80-byte plaintext (randomness ‖ id ‖ value LE), key = Blake2s of the shared
 point (reference `crypto/encryption/aes.rs`, `config/utxo.rs:760-767`).
 """
@@ -118,6 +119,10 @@ def decrypt_incoming(
 
 # -- AES-GCM light/outgoing notes --
 
+#: The reference's fixed nonce is the 12-byte literal "random nonce"
+#: (`crypto/encryption/aes.rs:64`), safe because each key is used once.
+_AES_NONCE = b"random nonce"
+
 
 def _aes_key(shared) -> bytes:
     """Reference `config/utxo.rs:907-917` (IncomingAESConverter::as_target):
@@ -151,12 +156,12 @@ def encrypt_light(
     ephemeral_secret_key: int,
     plaintext: IncomingPlaintext,
 ) -> LightNote:
-    """Fixed-zero-nonce AES-GCM (safe: fresh key per ephemeral secret),
-    reference `crypto/encryption/aes.rs:171`."""
+    """Fixed-nonce AES-GCM (safe: fresh key per ephemeral secret),
+    reference `crypto/encryption/aes.rs:49-66`."""
     epk = cfg.embedded.scalar_mul(ephemeral_secret_key, cfg.group_generator)
     shared = cfg.embedded.scalar_mul(ephemeral_secret_key, receiving_key)
     ct = AESGCM(_aes_key(shared)).encrypt(
-        b"\x00" * 12, _plaintext_bytes(plaintext), None
+        _AES_NONCE, _plaintext_bytes(plaintext), None
     )
     return LightNote(ephemeral_public_key=epk, ciphertext=ct)
 
@@ -167,7 +172,7 @@ def decrypt_light(
     shared = cfg.embedded.scalar_mul(viewing_key, note.ephemeral_public_key)
     try:
         data = AESGCM(_aes_key(shared)).decrypt(
-            b"\x00" * 12, note.ciphertext, None
+            _AES_NONCE, note.ciphertext, None
         )
     except Exception:  # noqa: BLE001 — authentication failure
         return None
@@ -177,4 +182,49 @@ def decrypt_light(
             id=int.from_bytes(data[32:64], "little"),
             value=int.from_bytes(data[64:80], "little"),
         ),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class OutgoingNote:
+    """Spender-readable record of a spent asset, attached to each nullifier.
+
+    Reference: `protocol.rs:1330-1344` builds it via Hybrid(DH, OutAes);
+    `config/utxo.rs:1511-1517` fixes the 48-byte plaintext (asset id 32 LE
+    ‖ value 16 LE) + 16-byte tag. Key/nonce conventions match the light
+    incoming note (Blake2s of the compressed shared point, "random nonce").
+    """
+
+    ephemeral_public_key: Tuple[int, int]
+    ciphertext: bytes  # 64 bytes = 48 plaintext + 16 tag
+
+
+def encrypt_outgoing(
+    cfg: CFG.MantaPayConfig,
+    receiving_key,
+    ephemeral_secret_key: int,
+    asset: Asset,
+) -> OutgoingNote:
+    epk = cfg.embedded.scalar_mul(ephemeral_secret_key, cfg.group_generator)
+    shared = cfg.embedded.scalar_mul(ephemeral_secret_key, receiving_key)
+    pt = asset.id.to_bytes(32, "little") + asset.value.to_bytes(16, "little")
+    ct = AESGCM(_aes_key(shared)).encrypt(_AES_NONCE, pt, None)
+    return OutgoingNote(ephemeral_public_key=epk, ciphertext=ct)
+
+
+def decrypt_outgoing(
+    cfg: CFG.MantaPayConfig, viewing_key: int, note: OutgoingNote
+) -> Optional[Asset]:
+    """Trial decryption during sync: recovers the spent asset for
+    nullifiers the ledger reports (reference `functions.rs:210`)."""
+    shared = cfg.embedded.scalar_mul(viewing_key, note.ephemeral_public_key)
+    try:
+        data = AESGCM(_aes_key(shared)).decrypt(
+            _AES_NONCE, note.ciphertext, None
+        )
+    except Exception:  # noqa: BLE001 — not our note
+        return None
+    return Asset(
+        id=int.from_bytes(data[:32], "little"),
+        value=int.from_bytes(data[32:48], "little"),
     )

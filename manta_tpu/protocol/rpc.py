@@ -108,7 +108,21 @@ def encode_post(post: TX.TransferPost) -> dict:
         "sources": [_hx(v) for v in post.source_values],
         "sinks": [_hx(v) for v in post.sink_values],
         "senders": [
-            {"root": _hx(s["root"]), "nullifier": _hx(s["nullifier"])}
+            {
+                "root": _hx(s["root"]),
+                "nullifier": _hx(s["nullifier"]),
+                "outgoing_note": (
+                    None
+                    if s.get("outgoing_note") is None
+                    else {
+                        "epk": [
+                            _hx(s["outgoing_note"].ephemeral_public_key[0]),
+                            _hx(s["outgoing_note"].ephemeral_public_key[1]),
+                        ],
+                        "ct": s["outgoing_note"].ciphertext.hex(),
+                    }
+                ),
+            }
             for s in post.sender_posts
         ],
         "receivers": [
@@ -138,7 +152,21 @@ def decode_post(d: dict) -> TX.TransferPost:
         source_values=[_unhx(v) for v in d["sources"]],
         sink_values=[_unhx(v) for v in d["sinks"]],
         sender_posts=[
-            {"root": _unhx(s["root"]), "nullifier": _unhx(s["nullifier"])}
+            {
+                "root": _unhx(s["root"]),
+                "nullifier": _unhx(s["nullifier"]),
+                "outgoing_note": (
+                    None
+                    if s.get("outgoing_note") is None
+                    else N.OutgoingNote(
+                        ephemeral_public_key=(
+                            _unhx(s["outgoing_note"]["epk"][0]),
+                            _unhx(s["outgoing_note"]["epk"][1]),
+                        ),
+                        ciphertext=bytes.fromhex(s["outgoing_note"]["ct"]),
+                    )
+                ),
+            }
             for s in d["senders"]
         ],
         receiver_posts=[
@@ -187,6 +215,15 @@ def encode_pull(diff: dict) -> dict:
             for shard, entries in diff["receivers"].items()
         },
         "senders": [_hx(x) for x in diff["senders"]],
+        "outgoing_notes": [
+            None
+            if n is None
+            else {
+                "epk": [_hx(n.ephemeral_public_key[0]), _hx(n.ephemeral_public_key[1])],
+                "ct": n.ciphertext.hex(),
+            }
+            for n in diff.get("outgoing_notes", [])
+        ],
         "checkpoint": encode_checkpoint(diff["checkpoint"]),
     }
 
@@ -206,6 +243,15 @@ def decode_pull(d: dict) -> dict:
             for shard, entries in d["receivers"].items()
         },
         "senders": [_unhx(x) for x in d["senders"]],
+        "outgoing_notes": [
+            None
+            if n is None
+            else N.OutgoingNote(
+                ephemeral_public_key=(_unhx(n["epk"][0]), _unhx(n["epk"][1])),
+                ciphertext=bytes.fromhex(n["ct"]),
+            )
+            for n in d.get("outgoing_notes", [])
+        ],
         "checkpoint": decode_checkpoint(d["checkpoint"]),
     }
 

@@ -239,6 +239,9 @@ def make_sender(
         nullifier=secret.nullifier(cfg, context, utxo),
         proof=proof,
         root=forest.root(shard),
+        outgoing_note=N.encrypt_outgoing(
+            cfg, rk, outgoing_esk, plaintext.asset
+        ),
     )
 
 
@@ -289,7 +292,8 @@ def build_private_transfer(
             source_values=[],
             sink_values=[],
             sender_posts=[
-                {"root": s.root, "nullifier": s.nullifier} for s in senders
+                {"root": s.root, "nullifier": s.nullifier,
+                 "outgoing_note": s.outgoing_note} for s in senders
             ],
             receiver_posts=[{"bundle": strip_receiver(r)} for r in receivers],
         ),
@@ -329,7 +333,8 @@ def build_to_public(
             source_values=[],
             sink_values=[sink_value],
             sender_posts=[
-                {"root": s.root, "nullifier": s.nullifier} for s in senders
+                {"root": s.root, "nullifier": s.nullifier,
+                 "outgoing_note": s.outgoing_note} for s in senders
             ],
             receiver_posts=[{"bundle": strip_receiver(receiver)}],
         ),

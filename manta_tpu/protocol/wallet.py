@@ -154,7 +154,8 @@ class Signer:
                 deltas[pt.asset.id] = deltas.get(pt.asset.id, 0) + pt.asset.value
         # drop everything but owned paths + frontier (functions.rs:147-209)
         self.forest.prune()
-        for nullifier in diff["senders"]:
+        notes = diff.get("outgoing_notes") or [None] * len(diff["senders"])
+        for nullifier, out_note in zip(diff["senders"], notes):
             coin = self.nullifier_map.get(nullifier)
             if coin is not None and not coin.spent:
                 coin.spent = True
@@ -162,6 +163,15 @@ class Signer:
                     deltas.get(coin.plaintext.asset.id, 0)
                     - coin.plaintext.asset.value
                 )
+            elif coin is None and out_note is not None:
+                # spend made by another device holding this key: the
+                # outgoing note recovers the withdrawn asset (reference
+                # `functions.rs:210` outgoing-note trial decryption)
+                asset = N.decrypt_outgoing(
+                    self.cfg, self.viewing_key, out_note
+                )
+                if asset is not None:
+                    deltas[asset.id] = deltas.get(asset.id, 0) - asset.value
         self.checkpoint = diff["checkpoint"]
         return deltas
 
