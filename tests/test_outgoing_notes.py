@@ -22,7 +22,7 @@ def test_outgoing_note_roundtrip():
         proof_authorization_key=K.proof_authorization_key(cfg, sk)
     )
     rk = context.compute_receiving_key(cfg)
-    vk = K.viewing_key(cfg, sk)
+    vk = context.compute_viewing_key(cfg)
     asset = N.Asset(id=7, value=123456789)
     note = N.encrypt_outgoing(cfg, rk, 31337, asset)
     assert len(note.ciphertext) == 64  # 48 plaintext + 16 tag
@@ -51,7 +51,7 @@ def test_sender_posts_carry_outgoing_notes():
         proof_authorization_key=K.proof_authorization_key(cfg, sk)
     )
     rk = context.compute_receiving_key(cfg)
-    vk = K.viewing_key(cfg, sk)
+    vk = context.compute_viewing_key(cfg)
     forest = MK.MerkleForest(cfg)
     asset = N.Asset(id=3, value=55)
     pt = N.IncomingPlaintext(
