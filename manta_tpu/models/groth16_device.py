@@ -113,6 +113,16 @@ class DeviceProver:
         self.ni = matrices.num_instance
         self.nv = matrices.num_variables
         self.mats = tuple(_build_sparse(self.fr, rows, w) for w in range(3))
+        # Sparse-matrix data rides into the jitted scalar program as
+        # ARGUMENTS (device buffers), never as baked HLO constants — at
+        # spend-shape scale the embedded constants push the serialized
+        # program past the axon relay's request-size limit (HTTP 413).
+        import jax.numpy as jnp
+
+        self._mat_buffers = tuple(
+            (jnp.asarray(m.coeffs), jnp.asarray(m.cols), jnp.asarray(m.seg_ids))
+            for m in self.mats
+        )
         self.devices = None  # multi-device replication, see replicate_to
 
         # --- device-resident query points + zero-scalar masks ---
@@ -156,30 +166,33 @@ class DeviceProver:
 
     # -- device pipeline --
 
-    def _row_eval(self, mat: _SparseMat, z_mont):
-        """A/B/C evaluations over the domain: (L, ..., m) Montgomery."""
+    def _row_eval(self, mat: _SparseMat, z_mont, bufs):
+        """A/B/C evaluations over the domain: (L, ..., m) Montgomery.
+
+        `bufs` = (coeffs, cols, seg_ids) device buffers for `mat` (from
+        `self._mat_buffers`), passed as traced arguments."""
         import jax.numpy as jnp
 
         from manta_tpu.ops import field_ops as F
 
-        coeffs = jnp.asarray(mat.coeffs)
-        taken = jnp.take(z_mont, jnp.asarray(mat.cols), axis=-1)
+        coeffs, cols, seg_ids = bufs
+        taken = jnp.take(z_mont, cols, axis=-1)
         if taken.ndim > coeffs.ndim:  # batched: broadcast coeffs over B
             coeffs = coeffs[:, None, :]
         prods = F.mont_mul(self.fr, coeffs, taken)
         return F.segment_sum_mod(
-            self.fr, prods, mat.seg_ids, self.m, mat.max_row_terms
+            self.fr, prods, seg_ids, self.m, mat.max_row_terms
         )
 
-    def _h_canonical(self, z_mont):
+    def _h_canonical(self, z_mont, mat_bufs):
         """Witness -> canonical h(x) coefficient limbs, all on device."""
         from manta_tpu.ops import field_ops as F
         from manta_tpu.ops import ntt as NTT
 
         fr = self.fr
-        a_ev = self._row_eval(self.mats[0], z_mont)
-        b_ev = self._row_eval(self.mats[1], z_mont)
-        c_ev = self._row_eval(self.mats[2], z_mont)
+        a_ev = self._row_eval(self.mats[0], z_mont, mat_bufs[0])
+        b_ev = self._row_eval(self.mats[1], z_mont, mat_bufs[1])
+        c_ev = self._row_eval(self.mats[2], z_mont, mat_bufs[2])
         a_c = NTT.intt(fr, a_ev)
         b_c = NTT.intt(fr, b_ev)
         c_c = NTT.intt(fr, c_ev)
@@ -194,12 +207,13 @@ class DeviceProver:
         h_c = NTT.coset_intt(fr, h_ev)
         return F.normalize(fr, F.from_mont(fr, h_c))
 
-    def _prove_scalars(self, z_mont, z_canon):
+    def _prove_scalars(self, z_mont, z_canon, mat_bufs):
         """Witness -> the two masked MSM scalar arrays (AB-side and merged
-        L/H-side, h(x) computed on device)."""
+        L/H-side, h(x) computed on device). `mat_bufs` is
+        `self._mat_buffers` passed through the jit boundary as arguments."""
         import jax.numpy as jnp
 
-        h_canon = self._h_canonical(z_mont)
+        h_canon = self._h_canonical(z_mont, mat_bufs)
         pad_ab = jnp.zeros(
             (z_canon.shape[0], self.n_ab - self.nv), jnp.uint32
         )
@@ -241,7 +255,9 @@ class DeviceProver:
         the monolithic `_core`; the split path dispatches `_run_msm`)."""
         from manta_tpu.ops import msm as M
 
-        sc_a, sc_b1, sc_b2, sc_lh = self._prove_scalars(z_mont, z_canon)
+        sc_a, sc_b1, sc_b2, sc_lh = self._prove_scalars(
+            z_mont, z_canon, self._mat_buffers
+        )
 
         def run(cops, sc, pts, steps):
             return M.msm(
@@ -341,7 +357,9 @@ class DeviceProver:
             z_mont = jax.device_put(z_mont, d)
             z_canon = jax.device_put(z_canon, d)
             pts = self._dev_pts[device_index]
-        sc_a, sc_b1, sc_b2, sc_lh = self._scalars_jit(z_mont, z_canon)
+        sc_a, sc_b1, sc_b2, sc_lh = self._scalars_jit(
+            z_mont, z_canon, self._mat_buffers
+        )
         return (
             self._run_msm(self.g1, sc_a, pts[0], self.n_ab),
             self._run_msm(self.g1, sc_b1, pts[1], self.n_ab),

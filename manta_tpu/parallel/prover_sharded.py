@@ -83,7 +83,7 @@ def prove_batch_sharded(
         rands = [(0, 0)] * B
 
     def scalars_local(zm, zc):
-        return prover._prove_scalars(zm[0], zc[0])
+        return prover._prove_scalars(zm[0], zc[0], prover._mat_buffers)
 
     scalars_sh = jax.jit(
         jax.shard_map(
