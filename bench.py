@@ -72,6 +72,12 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
         cops = C.rns_curve_ops_for(curve)
     else:
         cops = C.curve_ops_for(curve, backend)
+    # rns_hybrid keeps the point arrays limb-encoded: build the distinct
+    # point set with the limb fused ops (identical encoding), then run the
+    # MSM itself through the hybrid backend
+    build_cops = (
+        C.curve_ops_for(curve, "fused") if backend == "rns_hybrid" else cops
+    )
     log(f"[bench] curve backend: {backend}")
     n = 1 << log2n
 
@@ -91,8 +97,8 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     for _ in range(n // 256):
         offs_pts.append(acc)
         acc = curve.add(acc, step256)
-    base = cops.encode_points(base_pts)  # (L, 256)
-    offs = cops.encode_points(offs_pts)  # (L, n/256)
+    base = build_cops.encode_points(base_pts)  # (L, 256)
+    offs = build_cops.encode_points(offs_pts)  # (L, n/256)
     tiles = n // 256
 
     @jax.jit
@@ -105,7 +111,7 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
             jnp.repeat(oy, 256, axis=-1),
             jnp.repeat(oz, 256, axis=-1),
         )
-        return tuple(cops.to_affine(cops.madd(o, b)))
+        return tuple(build_cops.to_affine(build_cops.madd(o, b)))
 
     pts = JacobianPoint(*build(base.x, base.y, base.z, offs.x, offs.y, offs.z))
     jax.block_until_ready(pts.x)

@@ -479,6 +479,10 @@ def curve_ops_for(
         from manta_tpu.ops.pallas import rns_kernels as RK
 
         return RK.rns_fused_curve_ops_for(curve)
+    if backend == "rns_hybrid":
+        from manta_tpu.ops.pallas import rns_kernels as RK
+
+        return RK.rns_hybrid_curve_ops_for(curve)
     if backend == "limb" and curve.name in _NAMED:
         return _NAMED[curve.name]
     return _ops_cache(curve, backend)

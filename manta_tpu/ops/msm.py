@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from manta_tpu import fields
 from manta_tpu.ops import curve as C
@@ -324,7 +325,12 @@ def _bucket_sums_fused(
     ).reshape(steps, lanes)
     ox, oy, oz = cops.run_columns(px, py, qinf, head)
 
-    binf = _bucket_template(cops, points, num_buckets)
+    # bucket template from the column OUTPUT shapes: hybrid backends feed
+    # the kernel limb points but emit RNS accumulators
+    def tmpl(a):
+        return jnp.zeros((*a.shape[1:-1], num_buckets), a.dtype)
+
+    binf = cops.infinity_like(JacobianPoint(tmpl(ox), tmpl(oy), tmpl(oz)))
     idx = jnp.where(
         end, d_t.astype(jnp.int32), jnp.int32(num_buckets)
     ).reshape(-1)
@@ -361,6 +367,11 @@ def _bucket_sums(
     assert lanes * steps == n
     if _fused(cops) and not unroll and lanes % 128 == 0:
         return _bucket_sums_fused(cops, digits, points, num_buckets, steps)
+    if getattr(cops, "point_ops", None) is not None:
+        raise ValueError(
+            "split-representation backend requires the fused column path "
+            f"(lanes={lanes} must be a multiple of 128, unroll must be off)"
+        )
     o = cops.ops
 
     perm, d_t, head, end = _sorted_layout(digits, steps)
@@ -449,13 +460,17 @@ def msm(
         )
     steps = min(column_steps, n)
     n2 = -(-n // steps) * steps
+    # point-array ops: split-representation backends (limb points feeding
+    # an RNS accumulation) expose `point_ops` for the affine input arrays
+    po = getattr(cops, "point_ops", None) or cops.ops
     if n2 != n:
         # pad with infinity points, digit 0 (bucket 0 has weight 0)
         pad = n2 - n
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((scalars.shape[0], pad), scalars.dtype)], axis=-1
         )
-        inf = cops.infinity_like(points)
+        pinf = getattr(cops, "point_infinity_like", cops.infinity_like)
+        inf = pinf(points)
 
         def pad_c(a, ia):
             return jnp.concatenate([a, ia[..., :pad]], axis=-1)
@@ -468,7 +483,7 @@ def msm(
         digits, negs, _ = window_digits_signed(
             scalars, window_bits, scalar_bits
         )
-        y_neg = o.neg(points.y)
+        y_neg = po.neg(points.y)
     else:
         digits = window_digits(scalars, window_bits)  # (W, n2)
         negs = None
@@ -478,7 +493,7 @@ def msm(
         pts = points
         if neg is not None:
             pts = JacobianPoint(
-                points.x, o.select(neg, y_neg, points.y), points.z
+                points.x, po.select(neg, y_neg, points.y), points.z
             )
         buckets = _bucket_sums(cops, d, pts, num_buckets, steps, unroll)
         if signed:
@@ -507,11 +522,16 @@ def msm(
             jax.lax.dynamic_update_index_in_dim(wz, res.z, i, 0),
         )
 
-    shape1 = lambda a: (num_windows, *a.shape[:-1], 1)
+    # window results live in the GROUP-LAW representation (hybrid backends:
+    # RNS), not the point-array one — size the store from the ops encoder
+    enc0 = np.asarray(
+        cops.ops.encode([(0, 0) if cops.curve.is_ext else 0])
+    )
+    shape1 = (num_windows, *enc0.shape[:-1], 1)
     init = (
-        jnp.zeros(shape1(points.x), points.x.dtype),
-        jnp.zeros(shape1(points.y), points.y.dtype),
-        jnp.zeros(shape1(points.z), points.z.dtype),
+        jnp.zeros(shape1, enc0.dtype),
+        jnp.zeros(shape1, enc0.dtype),
+        jnp.zeros(shape1, enc0.dtype),
     )
     wx, wy, wz = jax.lax.fori_loop(0, num_windows, window_body, init)
 

@@ -148,6 +148,35 @@ def _tables(spec: R.RnsSpec):
     return names, fvec, amat, ztab, znorm
 
 
+@functools.lru_cache(maxsize=None)
+def _limb_conv_tables(spec: R.RnsSpec):
+    """Constants for in-kernel limb -> RNS conversion (the hybrid MSM
+    backend keeps HBM point arrays in the 24-limb uint32 Montgomery form
+    and converts inside the column kernel).
+
+    cmat: (2, Kt, 2L) f32 — 6-bit halves of T, where T[j, i] = 2^(16i) mod
+    m_j for i < L and T[j, L+i] = 2^(16i+8) mod m_j (the limbs are split
+    into 8-bit halves at runtime, so every f32 dot partial stays < 2^20).
+    convk: (Kt,) f32 — residues of M1^2 · 2^(-16L) mod p; one RNS
+    Montgomery multiply by convk maps the exact limb value v = x·2^(16L)
+    into the RNS Montgomery domain (x·M1 mod p, bound < (k1+2)p).
+    """
+    L = spec.field.num_limbs
+    mods = list(spec.b1) + list(spec.b2) + [spec.m_r]
+    Kt = len(mods)
+    T = np.zeros((Kt, 2 * L), np.int64)
+    for j, m in enumerate(mods):
+        for i in range(L):
+            T[j, i] = pow(2, 16 * i, m)
+            T[j, L + i] = pow(2, 16 * i + 8, m)
+    cmat = np.stack([T % 64, T // 64]).astype(np.float32)
+    p = spec.field.modulus
+    K = spec.M1 * spec.M1 % p * spec.field.R_inv % p
+    # (Kt, 1): TPU VMEM kernel operands must be >= 2-D
+    convk = np.asarray([K % m for m in mods], np.float32)[:, None]
+    return cmat, convk
+
+
 # ---------------------------------------------------------------------------
 # In-kernel RNS coordinate ops (f32 residues, channels-major (Kt, lanes))
 # ---------------------------------------------------------------------------
@@ -160,12 +189,17 @@ class _KernelRnsOps:
     residues < 2^13-ish between Barrett steps — always exact (< 2^24).
     """
 
-    def __init__(self, spec: R.RnsSpec, fvec, amat, ztab, znorm, names):
+    def __init__(
+        self, spec: R.RnsSpec, fvec, amat, ztab, znorm, names,
+        cmat=None, convk=None,
+    ):
         self.spec = spec
         self._f = {n: fvec[i] for i, n in enumerate(names)}
         self._amat = amat
         self._ztab = ztab
         self._znorm = znorm
+        self._cmat = cmat
+        self._convk = convk
 
     def _vec(self, name):
         v = self._f[name]
@@ -280,6 +314,32 @@ class _KernelRnsOps:
     def sqr(self, a):
         return self.mul(a, a)
 
+    def from_limbs(self, limbs):
+        """(L, lanes) f32 of 16-bit limbs of v = x·2^(16L) mod p (lazy
+        [0, 2p) limb-Montgomery) -> RNS-Montgomery residues of x·M1 mod p
+        (bound < (k1+2)p). One exact digit-split matmul computes the
+        residues of v; one RNS Montgomery multiply by
+        convk = M1²·2^(-16L) swaps Montgomery radices."""
+        hi = jnp.floor(limbs * (1.0 / 256.0))
+        lo = limbs - 256.0 * hi
+        d = jnp.concatenate([lo, hi], axis=0)  # (2L, lanes), entries < 2^8
+
+        def dot(w, x):
+            return jax.lax.dot_general(
+                w, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # partials < 2L·2^6·2^8 = 2^19.6: f32-exact; combined < 2^26: int32
+        s_lo = dot(self._cmat[0], d)
+        s_hi = dot(self._cmat[1], d)
+        out_int = s_lo.astype(jnp.int32) + (s_hi.astype(jnp.int32) << 6)
+        out_f = s_lo + 64.0 * s_hi
+        m = self._vec("m")
+        inv = self._vec("inv")
+        res = self._mod_wide(out_int, out_f, m, inv)
+        return self.mul(res, jnp.broadcast_to(self._convk, res.shape))
+
     def add(self, a, b):
         # single conditional-subtract add (both operands canonical)
         m = self._vec("m")
@@ -376,6 +436,12 @@ class _KernelRnsFq2Ops:
         c0 = base.sub_k(t0, t1, 6)  # u^2 = -1; bound <= 2^7
         c1 = base.add(base.mul(a[0], b[1]), base.mul(a[1], b[0]))
         return jnp.stack([c0, c1])
+
+    def from_limbs(self, limbs):
+        """(2, L, lanes) limb components -> (2, Kt, lanes) RNS residues."""
+        return jnp.stack(
+            [self.base.from_limbs(limbs[0]), self.base.from_limbs(limbs[1])]
+        )
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -529,13 +595,141 @@ def _rns_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _hybrid_column_call(curve: hostmath.WeierstrassCurve, K: int, Rl: int):
+    """Hybrid column kernel: HBM point inputs stay in the 24-limb uint32
+    Montgomery form (1/3.2 of the RNS footprint — the round-2 rns_fused
+    MSM lost its compute win to RNS-sized gathers, NOTES_r2); the kernel
+    converts limb -> f32 RNS per step and accumulates at the RNS rate.
+    Outputs (accumulator stream) are RNS int32, consumed by the RNS
+    bucket/reduce machinery."""
+    spec = R.default_spec(curve.field)
+    names, fvec, amat, ztab, znorm = _tables(spec)
+    cmat, convk = _limb_conv_tables(spec)
+    Kt = spec.k1 + spec.k2 + 1
+    L = spec.field.num_limbs
+    ext = curve.is_ext
+    Rb = min(COLUMN_LANE_BLOCK // (2 if ext else 1), Rl)
+    Kb = min(COLUMN_STEP_BLOCK, K)
+    assert Rl % Rb == 0 and K % Kb == 0
+
+    cdims = (2, Kt) if ext else (Kt,)
+    ldims = (2, L) if ext else (L,)
+    idx3 = lambda r, k: (k, 0, 0, r)
+    idx2 = lambda r, k: (k, 0, r)
+    out_spec = pl.BlockSpec(
+        (Kb, *cdims, Rb), idx3 if ext else idx2, memory_space=pltpu.VMEM
+    )
+    in_spec = pl.BlockSpec(
+        (Kb, *ldims, Rb), idx3 if ext else idx2, memory_space=pltpu.VMEM
+    )
+    mask_spec = pl.BlockSpec(
+        (Kb, Rb), lambda r, k: (k, r), memory_space=pltpu.VMEM
+    )
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda r, k: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    def kernel(fv, am, zt, zn, cm, ck, px, py, qinf, head,
+               ox, oy, oz, sx, sy, sz):
+        kops = _make_kops(
+            curve, spec, names, fv[...], am[...], zt[...], zn[...],
+            cm[...], ck[...],
+        )
+        kc = _RnsKernelCurve(curve, backend="rns_kernel", kops=kops)
+        o = kops
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _():
+            sx[...] = jnp.zeros_like(sx)
+            sy[...] = o.one_like(sy[...]).astype(jnp.float32)
+            sz[...] = jnp.zeros_like(sz)
+
+        def body(j, carry):
+            acc = JacobianPoint(*carry)
+            qx = o.from_limbs(px[j].astype(jnp.float32))
+            qy = o.from_limbs(py[j].astype(jnp.float32))
+            q_is_inf = qinf[j] != 0
+            one = o.one_like(qx)
+            qz = o.select(q_is_inf, o.zeros_like(qx), one)
+            qy_fixed = o.select(q_is_inf, one, qy)
+            q = JacobianPoint(qx, qy_fixed, qz)
+            added = kc.madd(acc, q)
+            h = head[j] != 0
+            acc = JacobianPoint(
+                o.select(h, q.x, added.x),
+                o.select(h, q.y, added.y),
+                o.select(h, q.z, added.z),
+            )
+            ox[j] = acc.x
+            oy[j] = acc.y
+            oz[j] = acc.z
+            return tuple(acc)
+
+        acc0 = (sx[...], sy[...], sz[...])
+        ax, ay, az = jax.lax.fori_loop(0, Kb, body, acc0)
+        sx[...] = ax
+        sy[...] = ay
+        sz[...] = az
+
+    shape = (K, *cdims, Rl)
+    scratch = [pltpu.VMEM((*cdims, Rb), jnp.float32) for _ in range(3)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(3)
+        ),
+        grid=(Rl // Rb, K // Kb),
+        in_specs=[
+            const_spec(fvec.shape),
+            const_spec(amat.shape),
+            const_spec(ztab.shape),
+            const_spec(znorm.shape),
+            const_spec(cmat.shape),
+            const_spec(convk.shape),
+            in_spec,
+            in_spec,
+            mask_spec,
+            mask_spec,
+        ],
+        out_specs=tuple([out_spec] * 3),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret(),
+    )
+
+
+def hybrid_accumulate_columns(curve, px, py, qinf, head):
+    """Hybrid (limb in, RNS out) K-step column accumulation."""
+    spec = R.default_spec(curve.field)
+    names, fvec, amat, ztab, znorm = _tables(spec)
+    cmat, convk = _limb_conv_tables(spec)
+    K, Rl = px.shape[0], px.shape[-1]
+    call = _hybrid_column_call(curve, K, Rl)
+    return call(
+        jnp.asarray(fvec),
+        jnp.asarray(amat),
+        jnp.asarray(ztab),
+        jnp.asarray(znorm),
+        jnp.asarray(cmat),
+        jnp.asarray(convk),
+        # int32 on the way in: Mosaic has no uint32 -> f32 cast, and the
+        # 16-bit limb values are sign-safe in int32
+        px.astype(jnp.int32),
+        py.astype(jnp.int32),
+        qinf.astype(jnp.int32),
+        head.astype(jnp.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Single-call fused point kernels + the rns_fused CurveOps backend
 # ---------------------------------------------------------------------------
 
 
-def _make_kops(curve, spec, names, fv, am, zt, zn):
-    kops = _KernelRnsOps(spec, fv, am, zt, zn, names)
+def _make_kops(curve, spec, names, fv, am, zt, zn, cm=None, ck=None):
+    kops = _KernelRnsOps(spec, fv, am, zt, zn, names, cm, ck)
     if curve.is_ext:
         kops = _KernelRnsFq2Ops(kops)
     return kops
@@ -702,6 +896,77 @@ def rns_fused_curve_ops_for(
     curve: hostmath.WeierstrassCurve,
 ) -> RnsFusedCurveOps:
     return RnsFusedCurveOps(curve, backend="rns")
+
+
+@dataclasses.dataclass(frozen=True)
+class RnsHybridCurveOps(RnsFusedCurveOps):
+    """RNS group law with LIMB-resident HBM point arrays.
+
+    Round 2 measured the all-RNS MSM 2x slower than the limb backend
+    despite a 2.3x faster multiply: the (k1+k2+1)=75-row f32 residue
+    representation is ~3.2x the HBM bytes of 24 uint32 limbs, and every
+    memory-bound phase (per-window gathers, scatters, reductions) paid it
+    (NOTES_r2). This backend splits the representations:
+
+    - the AFFINE POINT arrays (MSM inputs: encode_points, padding, signed
+      y-negation, the per-window sorted gather) stay limb-major uint32 —
+      `point_ops` serves them;
+    - the column kernel converts limb -> f32 RNS in VMEM (one exact
+      digit-split matmul + one RNS multiply per coordinate) and
+    - accumulators / buckets / reduction phases run RNS (inherited).
+
+    The asymmetry is intentional: `encode_points` produces limb batches
+    (kernel feed), `decode_points` consumes RNS batches (kernel output).
+    """
+
+    @functools.cached_property
+    def point_ops(self):
+        """Limb-domain CoordOps for the affine point arrays."""
+        spec = self.curve.field
+        return C.Fq2Ops(spec) if self.curve.is_ext else C.CoordOps(spec)
+
+    def encode_points(self, points) -> JacobianPoint:
+        """Affine host points -> limb-major uint32 Jacobian batch (the
+        column-kernel input form; same encoding as the limb backends)."""
+        o = self.point_ops
+        zero = (0, 0) if self.curve.is_ext else 0
+        one = (1, 0) if self.curve.is_ext else 1
+        xs = [zero if pt is None else pt[0] for pt in points]
+        ys = [one if pt is None else pt[1] for pt in points]
+        zs = [zero if pt is None else one for pt in points]
+        return JacobianPoint(
+            jnp.asarray(o.encode(xs)),
+            jnp.asarray(o.encode(ys)),
+            jnp.asarray(o.encode(zs)),
+        )
+
+    def point_infinity_like(self, template: JacobianPoint) -> JacobianPoint:
+        """Limb-domain (0, 1, 0) batch for padding the point arrays."""
+        o = self.point_ops
+        return JacobianPoint(
+            o.zeros_like(template.x),
+            o.one_like(template.y),
+            o.zeros_like(template.z),
+        )
+
+    def affine_infinity_mask(self, pt: JacobianPoint):
+        """Limb-encoded affine batches mark infinity with all-zero Z."""
+        return jnp.all(pt.z == 0, axis=tuple(range(pt.z.ndim - 1)))
+
+    def run_columns(self, px, py, qinf, head):
+        ox, oy, oz = hybrid_accumulate_columns(self.curve, px, py, qinf, head)
+        return (
+            ox.astype(jnp.int32),
+            oy.astype(jnp.int32),
+            oz.astype(jnp.int32),
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def rns_hybrid_curve_ops_for(
+    curve: hostmath.WeierstrassCurve,
+) -> RnsHybridCurveOps:
+    return RnsHybridCurveOps(curve, backend="rns")
 
 
 def rns_accumulate_columns(curve, px, py, qinf, head):
