@@ -140,6 +140,15 @@ class DeviceProver:
         self.lh_pts, self.lh_mask = self._encode_query(
             self.g1, list(pk.l_query) + list(pk.h_query), self.n_lh
         )
+        # Everything the scalar pipeline reads besides the witness rides
+        # through the jit boundary as ONE argument pytree (never closure
+        # constants baked into the lowered HLO — at spend-shape scale the
+        # embedded constants push the serialized program past the axon
+        # relay's request-size limit, HTTP 413).
+        self._buffers = (
+            self._mat_buffers,
+            (self.a_mask, self.b1_mask, self.b2_mask, self.lh_mask),
+        )
 
         # Split programs: h-pipeline + scalar glue compile as one small
         # program; each MSM dispatches through the SHARED `msm_jit` (point
@@ -207,12 +216,14 @@ class DeviceProver:
         h_c = NTT.coset_intt(fr, h_ev)
         return F.normalize(fr, F.from_mont(fr, h_c))
 
-    def _prove_scalars(self, z_mont, z_canon, mat_bufs):
+    def _prove_scalars(self, z_mont, z_canon, bufs):
         """Witness -> the two masked MSM scalar arrays (AB-side and merged
-        L/H-side, h(x) computed on device). `mat_bufs` is
-        `self._mat_buffers` passed through the jit boundary as arguments."""
+        L/H-side, h(x) computed on device). `bufs` is `self._buffers`
+        (sparse matrices + zero-scalar masks) passed through the jit
+        boundary as arguments."""
         import jax.numpy as jnp
 
+        mat_bufs, (a_mask, b1_mask, b2_mask, lh_mask) = bufs
         h_canon = self._h_canonical(z_mont, mat_bufs)
         pad_ab = jnp.zeros(
             (z_canon.shape[0], self.n_ab - self.nv), jnp.uint32
@@ -231,8 +242,8 @@ class DeviceProver:
             ],
             axis=-1,
         )
-        return sc_ab * self.a_mask[None, :], sc_ab * self.b1_mask[None, :], \
-            sc_ab * self.b2_mask[None, :], sc_lh * self.lh_mask[None, :]
+        return sc_ab * a_mask[None, :], sc_ab * b1_mask[None, :], \
+            sc_ab * b2_mask[None, :], sc_lh * lh_mask[None, :]
 
     def _run_msm(self, cops, sc, pts, n: int):
         """One MSM through the SHARED jitted kernel (`msm_jit` caches per
@@ -250,14 +261,12 @@ class DeviceProver:
             True,
         )
 
-    def _msms(self, z_mont, z_canon):
+    def _msms(self, z_mont, z_canon, bufs):
         """The four MSM accumulators for one witness, single trace (used by
         the monolithic `_core`; the split path dispatches `_run_msm`)."""
         from manta_tpu.ops import msm as M
 
-        sc_a, sc_b1, sc_b2, sc_lh = self._prove_scalars(
-            z_mont, z_canon, self._mat_buffers
-        )
+        sc_a, sc_b1, sc_b2, sc_lh = self._prove_scalars(z_mont, z_canon, bufs)
 
         def run(cops, sc, pts, steps):
             return M.msm(
@@ -276,16 +285,19 @@ class DeviceProver:
         lh_acc = run(self.g1, sc_lh, self.lh_pts, self.n_lh)
         return a_acc, b1_acc, b2_acc, lh_acc
 
-    def _prove_core(self, z_mont, z_canon):
-        return self._msms(z_mont, z_canon)
+    def _prove_core(self, z_mont, z_canon, bufs):
+        return self._msms(z_mont, z_canon, bufs)
 
     def replicate_to(self, devices) -> None:
-        """Replicate the HBM-resident query points to every device so
-        `prove_batch` can fan independent proofs out across them."""
+        """Replicate the HBM-resident query points AND the scalar-pipeline
+        buffers (sparse matrices + masks) to every device so `prove_batch`
+        can fan independent proofs out across them without per-proof
+        host->device transfers."""
         import jax
 
         self.devices = list(devices)
         self._dev_pts = []
+        self._dev_bufs = []
         for d in self.devices:
             put = lambda pt: type(pt)(
                 jax.device_put(pt.x, d),
@@ -300,6 +312,7 @@ class DeviceProver:
                     put(self.lh_pts),
                 )
             )
+            self._dev_bufs.append(jax.device_put(self._buffers, d))
 
     # -- host API --
 
@@ -352,14 +365,14 @@ class DeviceProver:
         z_mont, z_canon = self._encode_witness(assignment)
         if device_index is None:
             pts = (self.a_pts, self.b1_pts, self.b2_pts, self.lh_pts)
+            bufs = self._buffers
         else:
             d = self.devices[device_index]
             z_mont = jax.device_put(z_mont, d)
             z_canon = jax.device_put(z_canon, d)
             pts = self._dev_pts[device_index]
-        sc_a, sc_b1, sc_b2, sc_lh = self._scalars_jit(
-            z_mont, z_canon, self._mat_buffers
-        )
+            bufs = self._dev_bufs[device_index]
+        sc_a, sc_b1, sc_b2, sc_lh = self._scalars_jit(z_mont, z_canon, bufs)
         return (
             self._run_msm(self.g1, sc_a, pts[0], self.n_ab),
             self._run_msm(self.g1, sc_b1, pts[1], self.n_ab),
@@ -379,7 +392,7 @@ class DeviceProver:
         the default dispatches the split shared programs."""
         if monolithic:
             z_mont, z_canon = self._encode_witness(assignment)
-            accs = self._core(z_mont, z_canon)
+            accs = self._core(z_mont, z_canon, self._buffers)
         else:
             accs = self._dispatch_proof(assignment, None)
         return self._finish(accs, assignment, r_rand, s_rand)

@@ -82,16 +82,18 @@ def prove_batch_sharded(
     if rands is None:
         rands = [(0, 0)] * B
 
-    def scalars_local(zm, zc):
-        return prover._prove_scalars(zm[0], zc[0], prover._mat_buffers)
-
+    # The sparse matrices + masks ride in as shard_map INPUTS with fully
+    # replicated specs (P()), never closure captures — captured arrays are
+    # baked into the lowered program as constants, which at spend-shape
+    # scale pushes the serialized program past the relay's request limit.
     scalars_sh = jax.jit(
         jax.shard_map(
-            lambda zm, zc: tuple(
-                s[None] for s in scalars_local(zm, zc)
+            lambda zm, zc, bufs: tuple(
+                s[None]
+                for s in prover._prove_scalars(zm[0], zc[0], bufs)
             ),
             mesh=mesh,
-            in_specs=(P(DATA_AXIS, None, None),) * 2,
+            in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None, None), P()),
             out_specs=(P(DATA_AXIS, None, None),) * 4,
             check_vma=False,
         )
@@ -103,7 +105,7 @@ def prove_batch_sharded(
         enc = [prover._encode_witness(a) for a in batch]
         zm = jnp.stack([e[0] for e in enc])
         zc = jnp.stack([e[1] for e in enc])
-        sc_a, sc_b1, sc_b2, sc_lh = scalars_sh(zm, zc)
+        sc_a, sc_b1, sc_b2, sc_lh = scalars_sh(zm, zc, prover._buffers)
 
         def run(cops, sc_b, pts, n):
             crank = pts.x.ndim
