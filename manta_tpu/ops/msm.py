@@ -308,8 +308,19 @@ def _bucket_sums_fused(
     steps: int,
 ) -> JacobianPoint:
     """Fused-kernel bucket accumulation: the whole K-step column loop runs
-    as ONE Pallas kernel emitting the post-step accumulator stream; run ends
-    scatter to their buckets in a single drop-mode scatter."""
+    as ONE Pallas kernel emitting the post-step accumulator stream; the
+    <= num_buckets run-end values are picked out of the stream and
+    scattered to their buckets.
+
+    TPU gathers/scatters cost ~1 element/cycle regardless of row count, so
+    the two hot data movements are shaped to minimize ELEMENT count:
+    - the sorted point gather moves x||y PACKED two-16-bit-limbs-per-u32
+      (half the elements of separate coordinate gathers);
+    - run ends are located first with 1-row index arithmetic (cumsum +
+      iota scatter), then only those <= num_buckets stream values are
+      gathered — never a (K*R)-lane scatter of the full stream (which
+      costs ~50ms/window at 2^20; this path is ~7x cheaper).
+    """
     n = digits.shape[-1]
     lanes = n // steps
     perm, d_t, head, end = _sorted_layout(digits, steps)
@@ -319,7 +330,13 @@ def _bucket_sums_fused(
         chunked = taken.reshape(*a.shape[:-1], steps, lanes)
         return jnp.moveaxis(chunked, -2, 0)  # (K, *E, R)
 
-    px, py = gather_kt(points.x), gather_kt(points.y)
+    if points.x.dtype == jnp.uint32 and points.x.ndim == 2:
+        # G1 limb layout: 16-bit limbs in u32 rows — pack x|y<<16
+        packed = points.x | (points.y << jnp.uint32(16))
+        g = gather_kt(packed)
+        px, py = g & jnp.uint32(0xFFFF), g >> jnp.uint32(16)
+    else:
+        px, py = gather_kt(points.x), gather_kt(points.y)
     qinf = jnp.take(
         cops.affine_infinity_mask(points).astype(jnp.int32), perm
     ).reshape(steps, lanes)
@@ -331,17 +348,30 @@ def _bucket_sums_fused(
         return jnp.zeros((*a.shape[1:-1], num_buckets), a.dtype)
 
     binf = cops.infinity_like(JacobianPoint(tmpl(ox), tmpl(oy), tmpl(oz)))
-    idx = jnp.where(
-        end, d_t.astype(jnp.int32), jnp.int32(num_buckets)
-    ).reshape(-1)
 
-    def flat(a):  # (K, *E, R) -> (*E, K*R)
-        return jnp.moveaxis(a, 0, -2).reshape(*a.shape[1:-1], steps * lanes)
+    # -- run-end compaction (1-row index math, then a small gather) --
+    KR = steps * lanes
+    end_flat = end.reshape(-1)  # k-major: [k, j] -> k * lanes + j
+    d_flat = d_t.astype(jnp.int32).reshape(-1)
+    rank = jnp.cumsum(end_flat.astype(jnp.int32))
+    slots = jnp.where(end_flat, rank - 1, jnp.int32(num_buckets))
+    pos = (
+        jnp.full((num_buckets,), KR, jnp.int32)
+        .at[slots]
+        .set(jnp.arange(KR, dtype=jnp.int32), mode="drop")
+    )
+    valid = pos < KR
+    pos_c = jnp.minimum(pos, KR - 1)
+    idx_b = jnp.where(valid, jnp.take(d_flat, pos_c), jnp.int32(num_buckets))
+
+    def pick(a):  # (K, *E, R) -> (*E, num_buckets) values at run ends
+        flat = jnp.moveaxis(a, 0, -2).reshape(*a.shape[1:-1], KR)
+        return jnp.take(flat, pos_c, axis=-1)
 
     buckets_a = JacobianPoint(
-        binf.x.at[..., idx].set(flat(ox), mode="drop"),
-        binf.y.at[..., idx].set(flat(oy), mode="drop"),
-        binf.z.at[..., idx].set(flat(oz), mode="drop"),
+        binf.x.at[..., idx_b].set(pick(ox), mode="drop"),
+        binf.y.at[..., idx_b].set(pick(oy), mode="drop"),
+        binf.z.at[..., idx_b].set(pick(oz), mode="drop"),
     )
     acc_last = JacobianPoint(ox[-1], oy[-1], oz[-1])
     buckets_b = _fold_partials(cops, acc_last, d_t, binf, num_buckets)
@@ -511,49 +541,68 @@ def msm(
             acc = cops.add(acc, one_window(*window_args(w)))
         return acc
 
-    def window_body(i, carry):
-        wx, wy, wz = carry
-        res = one_window(
-            digits[i], negs[i] if signed else None
-        )
-        return (
-            jax.lax.dynamic_update_index_in_dim(wx, res.x, i, 0),
-            jax.lax.dynamic_update_index_in_dim(wy, res.y, i, 0),
-            jax.lax.dynamic_update_index_in_dim(wz, res.z, i, 0),
-        )
+    # Per-window bucket accumulation runs inside the rolled window loop
+    # (ONE copy of the sort/gather/column pipeline in the graph); the
+    # weighted bucket reduction then runs ONCE over all windows as a batch
+    # axis — it is dispatch-bound (~50 small kernel launches), so batching
+    # the windows amortizes the launches 16x. Bucket stores live in the
+    # GROUP-LAW representation (hybrid backends: RNS) with layout
+    # (*E, W, num_buckets) — the limb/channel axis stays leading, as the
+    # field ops require.
+    def window_buckets(d, neg):
+        pts = points
+        if neg is not None:
+            pts = JacobianPoint(
+                points.x, po.select(neg, y_neg, points.y), points.z
+            )
+        return _bucket_sums(cops, d, pts, num_buckets, steps, unroll)
 
-    # window results live in the GROUP-LAW representation (hybrid backends:
-    # RNS), not the point-array one — size the store from the ops encoder
     enc0 = np.asarray(
         cops.ops.encode([(0, 0) if cops.curve.is_ext else 0])
     )
-    shape1 = (num_windows, *enc0.shape[:-1], 1)
-    init = (
-        jnp.zeros(shape1, enc0.dtype),
-        jnp.zeros(shape1, enc0.dtype),
-        jnp.zeros(shape1, enc0.dtype),
-    )
-    wx, wy, wz = jax.lax.fori_loop(0, num_windows, window_body, init)
+    store_shape = (*enc0.shape[:-1], num_windows, num_buckets)
+
+    def window_body(i, carry):
+        bx, by, bz = carry
+        b = window_buckets(digits[i], negs[i] if signed else None)
+
+        def put(buf, val):
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, val[..., None, :], i, axis=buf.ndim - 2
+            )
+
+        return put(bx, b.x), put(by, b.y), put(bz, b.z)
+
+    init = tuple(jnp.zeros(store_shape, enc0.dtype) for _ in range(3))
+    bx, by, bz = jax.lax.fori_loop(0, num_windows, window_body, init)
+    wins = (
+        _weighted_reduce_signed(cops, JacobianPoint(bx, by, bz), window_bits)
+        if signed
+        else _weighted_reduce(cops, JacobianPoint(bx, by, bz), window_bits)
+    )  # coords: (*E, W, 1)
 
     # Horner from the most significant window down:
     # acc = W_{last}; for w = last-1..0: acc = 2^c * acc + W_w
-    top = JacobianPoint(wx[-1], wy[-1], wz[-1])
+    def pick_w(w):
+        def one(a):
+            return jax.lax.dynamic_index_in_dim(
+                a, w, axis=a.ndim - 2, keepdims=False
+            )
+
+        return JacobianPoint(one(wins.x), one(wins.y), one(wins.z))
+
+    top = JacobianPoint(
+        wins.x[..., -1, :], wins.y[..., -1, :], wins.z[..., -1, :]
+    )
 
     def horner_body(i, acc_tuple):
-        acc = JacobianPoint(*acc_tuple)
         acc = jax.lax.fori_loop(
             0,
             window_bits,
             lambda _, a: tuple(cops.double(JacobianPoint(*a))),
-            tuple(acc),
+            acc_tuple,
         )
-        w = num_windows - 2 - i
-        term = JacobianPoint(
-            jax.lax.dynamic_index_in_dim(wx, w, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(wy, w, 0, keepdims=False),
-            jax.lax.dynamic_index_in_dim(wz, w, 0, keepdims=False),
-        )
-        acc = cops.add(JacobianPoint(*acc), term)
+        acc = cops.add(JacobianPoint(*acc), pick_w(num_windows - 2 - i))
         return tuple(acc)
 
     result = jax.lax.fori_loop(0, num_windows - 1, horner_body, tuple(top))
