@@ -4,24 +4,29 @@ TPU-first design (replaces `ark_ec::msm` used by the reference's Groth16
 prover, see SURVEY.md §2.9#3): everything is lane-parallel vector work with
 no data-dependent control flow —
 
-1. **Windows**: c-bit windows (any c <= 16; default 13 balances the n
-   mixed-adds of bucket accumulation against the 2·2^(c/2)-scale bucket
-   reduction).
+1. **Windows**: c-bit windows (any c <= 16; signed recoding halves the
+   bucket count and trims the window count to ceil(bits/c)).
 2. **Bucket accumulation** per window — *sequential-column segmented
-   reduce*: sort point indices by digit (`jnp.argsort`); lane j owns the
-   contiguous sorted chunk [jK, (j+1)K); a K-step `fori_loop` runs one
-   R-lane **mixed add** (`CurveOps.madd`, the stream of sorted points stays
-   affine) per step, restarting the accumulator at digit boundaries and
-   scattering each completed run into its bucket at a unique index. Buckets
+   reduce*: group point indices by digit (a two-pass radix counting sort,
+   `_counting_sort_order` — ~2x the TPU sort unit at 2^20); lane j owns
+   the contiguous sorted chunk [jK, (j+1)K); the whole K-step column loop
+   runs as ONE Pallas kernel (mixed adds on the affine sorted-point
+   stream, accumulator restarting at digit boundaries). Run-end positions
+   are located with 1-row index math and only those <= num_buckets stream
+   values are gathered and scattered into buckets (TPU gathers/scatters
+   cost ~1 element/cycle, so ELEMENT count is what matters — the sorted
+   point gather also moves x||y packed two-limbs-per-u32). Buckets
    spanning several chunks leave per-chunk trailing partials — an R-sized
    problem folded with one segmented scan and a second unique scatter.
-   Cost: n mixed adds + O(R) — vs the ~8n *full* adds of a block-scan
-   formulation, and ~n·log n for flat Hillis-Steele.
+   Cost: n mixed adds + O(R).
 3. **Bucket reduction**: sum_b b·S_b via the split-index identity
    b = 2^c2·h + l  =>  2^c2·sum_h h·R_h + sum_l l·C_l with
    R_h/C_l row/column sums of the (2^c1, 2^c2) bucket matrix — two
    pairwise tree reductions (~2·2^c adds) plus two tiny weighted sums
    (suffix scans over 2^c1 and 2^c2 lanes), instead of a 2^c-lane scan.
+   The reduction is dispatch-bound (~50 small kernel launches), so it
+   runs ONCE over all windows as a batch axis (buckets stored per window
+   inside the rolled window loop).
 4. **Window combine**: Horner over windows (c doublings per window), inside
    a fori_loop so the compiled graph holds ONE copy of the window pipeline.
 
@@ -273,12 +278,69 @@ def _fold_partials(
     )
 
 
-def _sorted_layout(digits: jnp.ndarray, steps: int):
+def _counting_sort_order(digits: jnp.ndarray, num_keys: int) -> jnp.ndarray:
+    """Stable two-pass radix argsort for digit keys in [0, num_keys).
+
+    Why not `jnp.argsort`: the TPU sort unit runs a 1M-element key/value
+    sort in ~39ms (~0.6 elem-ops/cycle, n log^2 n comparators); this
+    formulation is block one-hot histograms + cumsums + 1-row
+    gathers/scatters (~4 n-element index moves per pass), ~2x faster at
+    2^20 and linear in n. Stability makes the two 8-bit passes compose.
+    """
+    n = digits.shape[-1]
+    B = 128  # block width: per-block counts fit uint8 (max 128 <= 255)
+    assert n % B == 0, f"counting sort needs n % {B} == 0, got {n}"
+    nb = n // B
+    k_lo = jnp.int32(256)
+
+    def one_pass(key, K, order_in):
+        if order_in is not None:
+            key = jnp.take(key, order_in)
+        kb = key.reshape(nb, B)
+        onehot = (
+            kb[:, :, None] == jnp.arange(K, dtype=key.dtype)[None, None, :]
+        ).astype(jnp.uint8)
+        loc = jnp.cumsum(onehot, axis=1, dtype=jnp.uint8)  # (nb, B, K)
+        local_rank = jnp.take_along_axis(
+            loc, kb[:, :, None].astype(jnp.int32), axis=2
+        )[..., 0].astype(jnp.int32) - 1
+        block_tot = loc[:, -1, :].astype(jnp.int32)  # (nb, K)
+        blk_excl = jnp.cumsum(block_tot, axis=0) - block_tot  # excl over blocks
+        key_tot = jnp.sum(block_tot, axis=0)  # (K,)
+        key_base = jnp.cumsum(key_tot) - key_tot  # exclusive
+        pos = (
+            jnp.take(key_base, kb.astype(jnp.int32))
+            + jnp.take_along_axis(
+                blk_excl, kb.astype(jnp.int32), axis=1
+            )
+            + local_rank
+        ).reshape(-1)
+        order_pass = (
+            jnp.zeros((n,), jnp.int32)
+            .at[pos]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        if order_in is None:
+            return order_pass
+        return jnp.take(order_in, order_pass)
+
+    d = digits.astype(jnp.int32)
+    if num_keys <= 256:
+        return one_pass(d, num_keys, None)
+    o1 = one_pass(d & (k_lo - 1), 256, None)
+    k2 = ((num_keys - 1) >> 8) + 1
+    return one_pass(d >> jnp.int32(8), k2, o1)
+
+
+def _sorted_layout(digits: jnp.ndarray, steps: int, num_keys: int = 0):
     """Sort digits; return (perm, d_t, head, end) in the chunk-transposed
     (K, R) layout: element [k, j] = sorted[j*K + k]."""
     n = digits.shape[-1]
     lanes = n // steps
-    order = jnp.argsort(digits)
+    if num_keys and n % 128 == 0 and n >= 1024:
+        order = _counting_sort_order(digits, num_keys)
+    else:
+        order = jnp.argsort(digits)
     d_sorted = jnp.take(digits, order)
     perm = order.reshape(lanes, steps).T.reshape(-1)
     d_t = d_sorted.reshape(lanes, steps).T  # (K, R)
@@ -323,7 +385,7 @@ def _bucket_sums_fused(
     """
     n = digits.shape[-1]
     lanes = n // steps
-    perm, d_t, head, end = _sorted_layout(digits, steps)
+    perm, d_t, head, end = _sorted_layout(digits, steps, num_buckets)
 
     def gather_kt(a):
         taken = jnp.take(a, perm, axis=-1)
@@ -404,7 +466,7 @@ def _bucket_sums(
         )
     o = cops.ops
 
-    perm, d_t, head, end = _sorted_layout(digits, steps)
+    perm, d_t, head, end = _sorted_layout(digits, steps, num_buckets)
 
     def gather_t(a):
         taken = jnp.take(a, perm, axis=-1)

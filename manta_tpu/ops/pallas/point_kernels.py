@@ -156,12 +156,180 @@ class _KernelCoordOps:
         )
 
 
-class _KernelFq2Ops:
-    """Fq[u]/(u^2+1) over stacked (2, L, ...) arrays inside a kernel."""
+def _w12_limbs(spec: FieldSpec):
+    """Number of 12-bit limbs when W=12 keeps the Montgomery radix exact
+    (12 | 16·L, i.e. the external R = 2^(16L) is a power of 2^12), else
+    None. BLS12-381 Fq: 16·24 = 384 = 12·32 ✓; BN254 Fq: 256 ✗ (and its
+    16-bit schoolbook is small enough not to want this)."""
+    bits = 16 * spec.num_limbs
+    return bits // 12 if bits % 12 == 0 and spec.num_limbs >= 24 else None
+
+
+class _KernelCoordOps12:
+    """12-bit-limb field ops inside a kernel: lazy-column school + REDC.
+
+    The 16-bit path spends ~2/3 of its VPU ops on per-product column
+    maintenance — each 16x16-bit product must be split (& mask, >> 16) and
+    added into two columns immediately, because 24 raw 32-bit products per
+    column would overflow uint32. With W = 12 and LW = 384/12 = 32 limbs,
+    raw products are < 2^24 and accumulate 64-deep (< 2^30) with NO
+    per-product normalization: one multiply + one add per (i, j). REDC
+    runs the same lazy columns. 12·32 = 384 keeps the Montgomery radix
+    identical to the external 2^384 domain, so values convert by pure bit
+    repacking at the kernel boundary (`unpack`/`pack`). ~4.4k ops per
+    multiply vs ~6k for the 16-bit path (measured 138 Mmul-equiv/s there
+    at ~80% VPU utilization — op count is the ceiling).
+
+    Same lazy [0, 2p) value domain and CoordOps surface as
+    `_KernelCoordOps`; the point formulas are reused unchanged.
+    """
+
+    W = 12
+    MASK12 = (1 << 12) - 1
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
-        self.base = _KernelCoordOps(spec)
+        self.L16 = spec.num_limbs
+        L = _w12_limbs(spec)
+        assert L is not None
+        self.L = L
+
+        def limbs12(v: int):
+            return [(v >> (12 * k)) & self.MASK12 for k in range(L)]
+
+        self._p = limbs12(spec.modulus)
+        self._two_p = limbs12(2 * spec.modulus)
+        self._one = limbs12(spec.R % spec.modulus)
+        self.n0_inv = (-pow(spec.modulus, -1, 1 << 12)) % (1 << 12)
+
+    # -- boundary repacking (16-bit rows <-> 12-bit rows) --
+
+    def unpack(self, x16):
+        """(L16, ...) 16-bit-limb uint32 -> (L, ...) 12-bit-limb uint32."""
+        rows = []
+        for k in range(self.L):
+            i0, sh = divmod(12 * k, 16)
+            v = x16[i0] >> jnp.uint32(sh)
+            if sh + 12 > 16 and i0 + 1 < self.L16:
+                v = v | (x16[i0 + 1] << jnp.uint32(16 - sh))
+            rows.append(v & jnp.uint32(self.MASK12))
+        return jnp.stack(rows)
+
+    def pack(self, x12):
+        """(L, ...) 12-bit-limb -> (L16, ...) 16-bit-limb uint32."""
+        rows = []
+        for i in range(self.L16):
+            k0, sh = divmod(16 * i, 12)
+            v = x12[k0] >> jnp.uint32(sh)
+            got = 12 - sh
+            k = k0 + 1
+            while got < 16 and k < self.L:
+                v = v | (x12[k] << jnp.uint32(got))
+                got += 12
+                k += 1
+            rows.append(v & jnp.uint32(0xFFFF))
+        return jnp.stack(rows)
+
+    # -- ring ops --
+
+    def mul(self, a, b):
+        L = self.L
+        zero = jnp.zeros_like(a[0])
+        cols = [zero] * (2 * L + 1)
+        a_rows = [a[i] for i in range(L)]
+        b_rows = [b[j] for j in range(L)]
+        for i in range(L):
+            ai = a_rows[i]
+            for j in range(L):
+                cols[i + j] = cols[i + j] + ai * b_rows[j]
+        n0 = self.n0_inv
+        for i in range(L):
+            m = ((cols[i] & jnp.uint32(self.MASK12)) * n0) & jnp.uint32(
+                self.MASK12
+            )
+            for j in range(L):
+                cols[i + j] = cols[i + j] + m * self._p[j]
+            cols[i + 1] = cols[i + 1] + (cols[i] >> jnp.uint32(12))
+        outs = []
+        carry = zero
+        for k in range(L):
+            t = cols[L + k] + carry
+            outs.append(t & jnp.uint32(self.MASK12))
+            carry = t >> jnp.uint32(12)
+        return jnp.stack(outs)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        L = self.L
+        outs, carry = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = a[i] + b[i] + carry
+            outs.append(t & jnp.uint32(self.MASK12))
+            carry = t >> jnp.uint32(12)
+        diff, borrow = [], jnp.zeros_like(a[0])
+        base = 1 << 12
+        for i in range(L):
+            t = outs[i] + (base - self._two_p[i]) - borrow
+            diff.append(t & jnp.uint32(self.MASK12))
+            borrow = jnp.uint32(1) - (t >> jnp.uint32(12))
+        ge = jnp.logical_or(borrow == 0, carry != 0)
+        return jnp.where(ge, jnp.stack(diff), jnp.stack(outs))
+
+    def sub(self, a, b):
+        L = self.L
+        base = 1 << 12
+        outs, borrow = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = a[i] + base - b[i] - borrow
+            outs.append(t & jnp.uint32(self.MASK12))
+            borrow = jnp.uint32(1) - (t >> jnp.uint32(12))
+        plus, carry = [], jnp.zeros_like(a[0])
+        for i in range(L):
+            t = outs[i] + self._two_p[i] + carry
+            plus.append(t & jnp.uint32(self.MASK12))
+            carry = t >> jnp.uint32(12)
+        return jnp.where(borrow != 0, jnp.stack(plus), jnp.stack(outs))
+
+    def neg(self, a):
+        return self.sub(self.zeros_like(a), a)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def triple(self, a):
+        return self.add(self.add(a, a), a)
+
+    # -- predicates / selection --
+
+    def is_zero(self, a):
+        z = a[0] == 0
+        e = a[0] == self._p[0]
+        for i in range(1, self.L):
+            z = jnp.logical_and(z, a[i] == 0)
+            e = jnp.logical_and(e, a[i] == self._p[i])
+        return jnp.logical_or(z, e)
+
+    def eq(self, a, b):
+        return self.is_zero(self.sub(a, b))
+
+    def select(self, mask, a, b):
+        return jnp.where(mask[None, ...], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return jnp.stack([jnp.full_like(a[0], v) for v in self._one])
+
+
+class _KernelFq2Ops:
+    """Fq[u]/(u^2+1) over stacked (2, L, ...) arrays inside a kernel."""
+
+    def __init__(self, spec: FieldSpec, base=None):
+        self.spec = spec
+        self.base = base if base is not None else _KernelCoordOps(spec)
 
     def add(self, a, b):
         return jnp.stack([self.base.add(a[0], b[0]), self.base.add(a[1], b[1])])
@@ -211,18 +379,55 @@ class _KernelCurve(C.CurveOps):
     """CurveOps whose coordinate ops run in-register inside a kernel.
 
     Reuses the parent's point formulas (`add`/`madd`/`double` and the
-    branchless `_add_dispatch`) unchanged.
-    """
+    branchless `_add_dispatch`) unchanged. When the field admits the
+    12-bit lazy-column representation (`_w12_limbs`), all in-kernel
+    arithmetic runs 12-bit-limbed and values repack to the external
+    16-bit rows only at the kernel's load/store boundary."""
+
+    width12: bool = False
 
     @functools.cached_property
     def ops(self):
         spec = self.curve.field
-        return _KernelFq2Ops(spec) if self.curve.is_ext else _KernelCoordOps(spec)
+        if self.width12:
+            base = _KernelCoordOps12(spec)
+            return _KernelFq2Ops(spec, base) if self.curve.is_ext else base
+        return _KernelFq2Ops(spec) if self.curve.is_ext else _KernelCoordOps(
+            spec
+        )
+
+    # -- boundary repacking (identity for the 16-bit representation) --
+
+    def load_coord(self, a):
+        if not self.width12:
+            return a
+        base = self.ops.base if self.curve.is_ext else self.ops
+        if self.curve.is_ext:
+            return jnp.stack([base.unpack(a[0]), base.unpack(a[1])])
+        return base.unpack(a)
+
+    def store_coord(self, a):
+        if not self.width12:
+            return a
+        base = self.ops.base if self.curve.is_ext else self.ops
+        if self.curve.is_ext:
+            return jnp.stack([base.pack(a[0]), base.pack(a[1])])
+        return base.pack(a)
+
+    def internal_edims(self):
+        """Leading coordinate dims of the in-kernel representation."""
+        L = (
+            _w12_limbs(self.curve.field)
+            if self.width12
+            else self.curve.field.num_limbs
+        )
+        return (2, L) if self.curve.is_ext else (L,)
 
 
 @functools.lru_cache(maxsize=None)
 def _kernel_curve(curve: hostmath.WeierstrassCurve) -> _KernelCurve:
-    return _KernelCurve(curve, backend="kernel")
+    width12 = _w12_limbs(curve.field) is not None
+    return _KernelCurve(curve, backend="kernel", width12=width12)
 
 
 # ---------------------------------------------------------------------------
@@ -248,15 +453,16 @@ def _point_op(curve: hostmath.WeierstrassCurve, which: str, n: int):
 
     def kernel(*refs):
         ins, outs = refs[:n_in], refs[n_in:]
-        p = JacobianPoint(ins[0][...], ins[1][...], ins[2][...])
+        load = lambda r: kc.load_coord(r[...])
+        p = JacobianPoint(load(ins[0]), load(ins[1]), load(ins[2]))
         if which == "double":
             r = kc.double(p)
         else:
-            q = JacobianPoint(ins[3][...], ins[4][...], ins[5][...])
+            q = JacobianPoint(load(ins[3]), load(ins[4]), load(ins[5]))
             r = kc.add(p, q) if which == "add" else kc.madd(p, q)
-        outs[0][...] = r.x
-        outs[1][...] = r.y
-        outs[2][...] = r.z
+        outs[0][...] = kc.store_coord(r.x)
+        outs[1][...] = kc.store_coord(r.y)
+        outs[2][...] = kc.store_coord(r.z)
 
     block = min(LANE_BLOCK, n)
     assert n % block == 0
@@ -383,8 +589,8 @@ def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
 
         def body(j, carry):
             acc = JacobianPoint(*carry)
-            qx = px[j]
-            qy = py[j]
+            qx = kc.load_coord(px[j])
+            qy = kc.load_coord(py[j])
             q_is_inf = qinf[j] != 0
             one = o.one_like(qx)
             qz = o.select(q_is_inf, o.zeros_like(qx), one)
@@ -397,9 +603,9 @@ def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
                 o.select(h, q.y, added.y),
                 o.select(h, q.z, added.z),
             )
-            ox[j] = acc.x
-            oy[j] = acc.y
-            oz[j] = acc.z
+            ox[j] = kc.store_coord(acc.x)
+            oy[j] = kc.store_coord(acc.y)
+            oz[j] = kc.store_coord(acc.z)
             return tuple(acc)
 
         acc0 = (sx[...], sy[...], sz[...])
@@ -409,7 +615,10 @@ def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
         sz[...] = accz
 
     shape = (K, *edims, R)
-    scratch = [pltpu.VMEM((*edims, Rb), jnp.uint32) for _ in range(3)]
+    # the accumulator scratch lives in the in-kernel representation
+    scratch = [
+        pltpu.VMEM((*kc.internal_edims(), Rb), jnp.uint32) for _ in range(3)
+    ]
     return pl.pallas_call(
         kernel,
         out_shape=tuple(

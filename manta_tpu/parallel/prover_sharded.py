@@ -29,6 +29,7 @@ from manta_tpu.models.groth16_device import DeviceProver
 from manta_tpu.ops import msm as M
 from manta_tpu.ops.curve import JacobianPoint
 from manta_tpu.parallel.mesh import DATA_AXIS
+from manta_tpu.utils import aotcache as AOT
 
 
 def _batch_spec(rank: int):
@@ -86,18 +87,23 @@ def prove_batch_sharded(
     # replicated specs (P()), never closure captures — captured arrays are
     # baked into the lowered program as constants, which at spend-shape
     # scale pushes the serialized program past the relay's request limit.
-    scalars_sh = jax.jit(
-        jax.shard_map(
-            lambda zm, zc, bufs: tuple(
-                s[None]
-                for s in prover._prove_scalars(zm[0], zc[0], bufs)
-            ),
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None, None), P()),
-            out_specs=(P(DATA_AXIS, None, None),) * 4,
-            check_vma=False,
+    def make_scalars_sh():
+        return jax.jit(
+            jax.shard_map(
+                lambda zm, zc, bufs: tuple(
+                    s[None]
+                    for s in prover._prove_scalars(zm[0], zc[0], bufs)
+                ),
+                mesh=mesh,
+                in_specs=(
+                    P(DATA_AXIS, None, None),
+                    P(DATA_AXIS, None, None),
+                    P(),
+                ),
+                out_specs=(P(DATA_AXIS, None, None),) * 4,
+                check_vma=False,
+            )
         )
-    )
 
     proofs: List[G.Proof] = []
     for wave in range(0, B, D):
@@ -105,19 +111,32 @@ def prove_batch_sharded(
         enc = [prover._encode_witness(a) for a in batch]
         zm = jnp.stack([e[0] for e in enc])
         zc = jnp.stack([e[1] for e in enc])
-        sc_a, sc_b1, sc_b2, sc_lh = scalars_sh(zm, zc, prover._buffers)
+        # trace+lower once per source revision: the interpret-mode Pallas
+        # bodies in these programs cost minutes of re-tracing per process
+        # on the virtual CPU mesh (see utils/aotcache.py)
+        sc_a, sc_b1, sc_b2, sc_lh = AOT.call_cached(
+            "prover_scalars_sh", make_scalars_sh, mesh,
+            zm, zc, prover._buffers,
+        )
 
         def run(cops, sc_b, pts, n):
             crank = pts.x.ndim
-            prog = _sharded_msm_program(
-                cops,
-                mesh,
-                prover.window_bits,
-                min(n, prover.column_steps),
-                prover.fr.bits,
-                crank,
+
+            def make():
+                return _sharded_msm_program(
+                    cops,
+                    mesh,
+                    prover.window_bits,
+                    min(n, prover.column_steps),
+                    prover.fr.bits,
+                    crank,
+                )
+
+            tag = (
+                f"prover_msm:{cops.curve.name}:{cops.backend}:"
+                f"{prover.window_bits}:{min(n, prover.column_steps)}"
             )
-            return prog(sc_b, pts.x, pts.y, pts.z)
+            return AOT.call_cached(tag, make, mesh, sc_b, pts.x, pts.y, pts.z)
 
         a_b = run(prover.g1, sc_a, prover.a_pts, prover.n_ab)
         b1_b = run(prover.g1, sc_b1, prover.b1_pts, prover.n_ab)

@@ -1,0 +1,108 @@
+"""Disk-backed `jax.export` artifacts: skip re-tracing on repeat runs.
+
+The XLA persistent compile cache only skips the backend COMPILE step;
+JAX still re-traces the Python function and re-lowers it to StableHLO in
+every process. For the virtual-mesh dry-run/test paths the traced
+programs are enormous (interpret-mode Pallas bodies inlined as plain HLO:
+the warm 8-device dry-run prove stage measured 240s of tracing + 173s of
+MLIR lowering against 193s of execution), so re-tracing dominates wall
+clock even with every executable cached.
+
+This module serializes the `jax.export` artifact of a jitted program,
+keyed by (jax version, manta_tpu source-tree hash, tag, argument
+shapes/dtypes), and replays it on later runs — trace + lower happen once
+per source revision. The source-tree hash makes stale artifacts
+impossible: any edit under `manta_tpu/` invalidates every entry.
+
+Scope: CPU-platform processes only (the dry-run/test environment) — on
+the real TPU the traced programs are small Pallas custom calls and the
+normal jit path is fine. Opt out with MANTA_AOT_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+from typing import Callable
+
+CACHE_DIR = "/root/repo/.jax_cache/export"
+
+
+@functools.lru_cache(maxsize=1)
+def _source_hash() -> str:
+    """Content hash of every manta_tpu .py file (order-stable)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    paths = []
+    for dirpath, _, names in os.walk(root):
+        for name in names:
+            if name.endswith(".py"):
+                paths.append(os.path.join(dirpath, name))
+    for path in sorted(paths):
+        h.update(path.encode())
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+@functools.lru_cache(maxsize=1)
+def enabled() -> bool:
+    if os.environ.get("MANTA_AOT_CACHE", "1") == "0":
+        return False
+    import jax
+
+    try:
+        platforms = jax.config.jax_platforms or ""
+        return platforms.split(",")[0].strip() == "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _key(tag: str, args) -> str:
+    import jax
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    h.update(_source_hash().encode())
+    h.update(tag.encode())
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        h.update(f"{leaf.shape}:{leaf.dtype};".encode())
+    return h.hexdigest()[:32]
+
+
+_MEM: dict = {}
+
+
+def call_cached(tag: str, make_jit_fn: Callable, mesh, *args):
+    """Call `make_jit_fn()(*args)`, replaying a serialized export when one
+    exists for (tag, arg shapes, source revision). `mesh` provides the
+    device context the exported program executes under."""
+    import jax
+
+    if not enabled():
+        return make_jit_fn()(*args)
+    from jax import export as jexport
+
+    key = _key(tag, args)
+    exp = _MEM.get(key)
+    if exp is None:
+        path = os.path.join(CACHE_DIR, f"{key}.jaxexport")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                exp = jexport.deserialize(bytearray(f.read()))
+        else:
+            abstract = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args
+            )
+            exp = jexport.export(make_jit_fn())(*abstract)
+            os.makedirs(CACHE_DIR, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(exp.serialize())
+            os.replace(tmp, path)
+        _MEM[key] = exp
+    with jax.set_mesh(mesh):
+        return exp.call(*args)

@@ -161,3 +161,37 @@ class TestMsm:
         sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
         result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
         assert ops.decode_points(result) == [expected]
+
+
+class TestCountingSort:
+    """The radix counting-sort argsort used for per-window digit grouping."""
+
+    def test_matches_stable_argsort(self, rng):
+        import numpy as np
+
+        for n, num_keys in [(1024, 257), (4096, 32769), (2048, 61), (1152, 129)]:
+            d = jnp.asarray(
+                np.asarray(
+                    [rng.randrange(num_keys) for _ in range(n)], dtype=np.uint32
+                )
+            )
+            order = jax.jit(M._counting_sort_order, static_argnums=1)(d, num_keys)
+            o = np.asarray(order)
+            dd = np.asarray(d)
+            assert sorted(o.tolist()) == list(range(n))  # a permutation
+            assert (np.sort(dd) == dd[o]).all()  # sorted
+            # stable: equal keys keep ascending original indices
+            boundaries = np.flatnonzero(np.diff(dd[o]) == 0)
+            assert (o[boundaries] < o[boundaries + 1]).all()
+
+    def test_skewed_keys(self, rng):
+        """All-equal and two-value key streams (degenerate histograms)."""
+        import numpy as np
+
+        n = 1024
+        for vals in ([7] * n, [0] * (n // 2) + [32768] * (n // 2)):
+            d = jnp.asarray(np.asarray(vals, dtype=np.uint32))
+            order = jax.jit(M._counting_sort_order, static_argnums=1)(d, 32769)
+            o = np.asarray(order)
+            assert sorted(o.tolist()) == list(range(n))
+            assert (np.sort(np.asarray(d)) == np.asarray(d)[o]).all()
