@@ -82,39 +82,73 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     n = 1 << log2n
 
     log(f"[bench] devices: {jax.devices()}")
-    # ALL-DISTINCT points: P[i,j] = (i+1)G + 256(j+1)G built as one device
-    # mixed-add + batch normalization (tiled duplicate points would force
-    # the kernels' doubling branch, which real query points never hit).
-    log(f"[bench] building {n} distinct points on device ...")
-    g = curve.generator
-    base_pts, offs_pts = [], []
-    acc = g
-    for _ in range(256):
-        base_pts.append(acc)
-        acc = curve.add(acc, g)
-    step256 = curve.scalar_mul(256, g)
-    acc = step256
-    for _ in range(n // 256):
-        offs_pts.append(acc)
-        acc = curve.add(acc, step256)
-    base = build_cops.encode_points(base_pts)  # (L, 256)
-    offs = build_cops.encode_points(offs_pts)  # (L, n/256)
-    tiles = n // 256
-
-    @jax.jit
-    def build(bx, by, bz, ox, oy, oz):
-        b = JacobianPoint(
-            jnp.tile(bx, (1, tiles)), jnp.tile(by, (1, tiles)), jnp.tile(bz, (1, tiles))
+    # pay the (highly variable: 80-600s measured) axon session init + one
+    # trivial remote compile up front, so later stage timings are honest
+    t0 = time.time()
+    jax.block_until_ready(jax.jit(lambda a: a + 1)(jnp.zeros((8, 128))))
+    log(f"[bench] session init + warmup compile: {time.time() - t0:.1f}s")
+    # ALL-DISTINCT points: P[i,j] = (i+1)G + 256(j+1)G (tiled duplicate
+    # points would force the kernels' doubling branch, which real query
+    # points never hit). The affine limb arrays are cached on disk: the
+    # axon relay pays a full REMOTE compile for every process (no
+    # cross-process executable reuse — 12 distinct jit_build/jit_msm cache
+    # dirs from identical programs), so the driver's cold bench run must
+    # not compile the builder program at all.
+    cache_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".bench_points_2pow{log2n}.npz",
+    )
+    if os.path.exists(cache_file) and backend != "rns_annotated":
+        log(f"[bench] loading {n} cached points ({cache_file}) ...")
+        data = np.load(cache_file)
+        pts = JacobianPoint(
+            jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["z"])
         )
-        o = JacobianPoint(
-            jnp.repeat(ox, 256, axis=-1),
-            jnp.repeat(oy, 256, axis=-1),
-            jnp.repeat(oz, 256, axis=-1),
-        )
-        return tuple(build_cops.to_affine(build_cops.madd(o, b)))
+    else:
+        log(f"[bench] building {n} distinct points on device ...")
+        g = curve.generator
+        base_pts, offs_pts = [], []
+        acc = g
+        for _ in range(256):
+            base_pts.append(acc)
+            acc = curve.add(acc, g)
+        step256 = curve.scalar_mul(256, g)
+        acc = step256
+        for _ in range(n // 256):
+            offs_pts.append(acc)
+            acc = curve.add(acc, step256)
+        base = build_cops.encode_points(base_pts)  # (L, 256)
+        offs = build_cops.encode_points(offs_pts)  # (L, n/256)
+        tiles = n // 256
 
-    pts = JacobianPoint(*build(base.x, base.y, base.z, offs.x, offs.y, offs.z))
-    jax.block_until_ready(pts.x)
+        @jax.jit
+        def build(bx, by, bz, ox, oy, oz):
+            b = JacobianPoint(
+                jnp.tile(bx, (1, tiles)),
+                jnp.tile(by, (1, tiles)),
+                jnp.tile(bz, (1, tiles)),
+            )
+            o = JacobianPoint(
+                jnp.repeat(ox, 256, axis=-1),
+                jnp.repeat(oy, 256, axis=-1),
+                jnp.repeat(oz, 256, axis=-1),
+            )
+            return tuple(build_cops.to_affine(build_cops.madd(o, b)))
+
+        pts = JacobianPoint(
+            *build(base.x, base.y, base.z, offs.x, offs.y, offs.z)
+        )
+        jax.block_until_ready(pts.x)
+        try:
+            np.savez(
+                cache_file,
+                x=np.asarray(pts.x),
+                y=np.asarray(pts.y),
+                z=np.asarray(pts.z),
+            )
+            log(f"[bench] cached points to {cache_file}")
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            log(f"[bench] point cache write failed: {e}")
     scalars = jnp.asarray(random_scalar_limbs(curve.scalar_field, n))
     sbits = curve.scalar_field.bits
 

@@ -197,6 +197,14 @@ class CurveOps:
 
     # -- host <-> device --
 
+    @property
+    def limb16_points(self) -> bool:
+        """True when the affine POINT arrays this backend feeds the MSM are
+        (L, n) uint32 rows of 16-bit limbs — the invariant the MSM's packed
+        x|y<<16 gather relies on. Representation-changing backends override
+        (RNS: False; the limb-resident hybrid keeps True for G1)."""
+        return not self.curve.is_ext
+
     def encode_points(self, points) -> JacobianPoint:
         """Affine host points (None = infinity) -> Jacobian device batch."""
         o = self.ops
@@ -507,6 +515,10 @@ class RnsCurveOps(CurveOps):
     every mul/sqr resets to 2^6; the longest raw chains stay ≤ 2^11.2, and
     the RNS spec admits multiply inputs up to 2^12 (M1 > 2^25·p).
     """
+
+    @property
+    def limb16_points(self) -> bool:
+        return False  # points are packed int32 residues, not 16-bit limbs
 
     def double(self, pt: JacobianPoint) -> JacobianPoint:
         o = self.ops

@@ -362,12 +362,31 @@ def _bucket_template(cops: C.CurveOps, points: JacobianPoint, num_buckets: int):
     )
 
 
+def _run_ends_compact(d_flat, end_flat, num_buckets):
+    """Locate global run ends with 1-row index math: returns (pos_c, idx_b)
+    where pos_c[s] is the flat stream position of the end of the s-th run
+    (clamped) and idx_b[s] its bucket (num_buckets = dropped slot)."""
+    KR = d_flat.shape[-1]
+    rank = jnp.cumsum(end_flat.astype(jnp.int32))
+    slots = jnp.where(end_flat, rank - 1, jnp.int32(num_buckets))
+    pos = (
+        jnp.full((num_buckets,), KR, jnp.int32)
+        .at[slots]
+        .set(jnp.arange(KR, dtype=jnp.int32), mode="drop")
+    )
+    valid = pos < KR
+    pos_c = jnp.minimum(pos, KR - 1)
+    idx_b = jnp.where(valid, jnp.take(d_flat, pos_c), jnp.int32(num_buckets))
+    return pos_c, idx_b
+
+
 def _bucket_sums_fused(
     cops: C.CurveOps,
     digits: jnp.ndarray,
     points: JacobianPoint,
     num_buckets: int,
     steps: int,
+    parts: bool = False,
 ) -> JacobianPoint:
     """Fused-kernel bucket accumulation: the whole K-step column loop runs
     as ONE Pallas kernel emitting the post-step accumulator stream; the
@@ -392,7 +411,7 @@ def _bucket_sums_fused(
         chunked = taken.reshape(*a.shape[:-1], steps, lanes)
         return jnp.moveaxis(chunked, -2, 0)  # (K, *E, R)
 
-    if points.x.dtype == jnp.uint32 and points.x.ndim == 2:
+    if getattr(cops, "limb16_points", False):
         # G1 limb layout: 16-bit limbs in u32 rows — pack x|y<<16
         packed = points.x | (points.y << jnp.uint32(16))
         g = gather_kt(packed)
@@ -415,16 +434,7 @@ def _bucket_sums_fused(
     KR = steps * lanes
     end_flat = end.reshape(-1)  # k-major: [k, j] -> k * lanes + j
     d_flat = d_t.astype(jnp.int32).reshape(-1)
-    rank = jnp.cumsum(end_flat.astype(jnp.int32))
-    slots = jnp.where(end_flat, rank - 1, jnp.int32(num_buckets))
-    pos = (
-        jnp.full((num_buckets,), KR, jnp.int32)
-        .at[slots]
-        .set(jnp.arange(KR, dtype=jnp.int32), mode="drop")
-    )
-    valid = pos < KR
-    pos_c = jnp.minimum(pos, KR - 1)
-    idx_b = jnp.where(valid, jnp.take(d_flat, pos_c), jnp.int32(num_buckets))
+    pos_c, idx_b = _run_ends_compact(d_flat, end_flat, num_buckets)
 
     def pick(a):  # (K, *E, R) -> (*E, num_buckets) values at run ends
         flat = jnp.moveaxis(a, 0, -2).reshape(*a.shape[1:-1], KR)
@@ -436,6 +446,8 @@ def _bucket_sums_fused(
         binf.z.at[..., idx_b].set(pick(oz), mode="drop"),
     )
     acc_last = JacobianPoint(ox[-1], oy[-1], oz[-1])
+    if parts:
+        return buckets_a, acc_last, d_t
     buckets_b = _fold_partials(cops, acc_last, d_t, binf, num_buckets)
     return cops.add(buckets_a, buckets_b)
 
@@ -519,6 +531,234 @@ def _bucket_sums(
         cops, JacobianPoint(ax, ay, az), d_t, binf, num_buckets
     )
     return cops.add(buckets_a, buckets_b)
+
+
+def _chunk_t(a, K2):
+    """Chunk-transpose the trailing axis: (..., n) -> (K2, ..., n//K2) with
+    out[k, ..., j] = a[..., j*K2 + k] — each output lane owns a contiguous
+    chunk of the sequence, matching `_sorted_layout`'s (K, R) layout."""
+    r = a.reshape(*a.shape[:-1], a.shape[-1] // K2, K2)
+    return jnp.moveaxis(r, -1, 0)
+
+
+def _merge_lanes(a, lead=1):
+    """(K, ..., W, R2) -> (K, ..., W*R2): windows stay lane-separated."""
+    return a.reshape(*a.shape[:-2], a.shape[-2] * a.shape[-1])
+
+
+def _fold_trailing_fused(
+    cops, acc_last: JacobianPoint, last_d, first_d, num_buckets: int
+):
+    """Fold the per-window cross-chunk trailing partials through the fused
+    fold kernel (2 levels), batched over all windows at once.
+
+    acc_last: (*E, W, R) trailing accumulators; last_d/first_d: (W, R)
+    first/last digit of each chunk. Returns two (*E, W, num_buckets)
+    bucket arrays (disjoint deposits; caller adds them in).
+
+    Replaces the per-window Hillis-Steele `seg_scan` fold: same semantics
+    as `_fold_partials`, but every step is the ONE fused fold kernel, so
+    the compiled program carries no log-depth shape ladder.
+    """
+    o = cops.ops
+    W, R = last_d.shape
+    R2 = 128
+    K2 = R // R2
+    BP = num_buckets + 1  # per-window slot count incl. one garbage column
+    DEAD_ALL = jnp.int32(W * BP)  # out of range everywhere -> dropped
+    w_ids = jnp.arange(W, dtype=jnp.int32)[:, None]
+
+    # lane j's trailing partial participates iff its run continues into
+    # lane j+1 (same digit across the chunk boundary); composite keys
+    # w*(BP) + digit keep windows from ever merging
+    cont = jnp.concatenate(
+        [last_d[:, :-1] == first_d[:, 1:], jnp.zeros((W, 1), jnp.bool_)],
+        axis=-1,
+    )
+    key = jnp.where(
+        cont, w_ids * BP + last_d.astype(jnp.int32), DEAD_ALL
+    )  # (W, R)
+    inf = cops.infinity_like(acc_last)
+    val = JacobianPoint(
+        o.select(cont, acc_last.x, inf.x),
+        o.select(cont, acc_last.y, inf.y),
+        o.select(cont, acc_last.z, inf.z),
+    )
+
+    def level(val, key, rows, K):
+        """One fold level over `rows` independent sequences of length
+        seqlen = key.shape[-1]/... : `key` is (rows, seqlen), `val` coords
+        are (*E, rows, seqlen). Chunk-transposes each sequence into
+        (K, seqlen/K) so every kernel lane owns one contiguous chunk, runs
+        the fold kernel, deposits global run ends into a (rows*BP) flat
+        bucket array, and returns (deposits, trailing values, transposed
+        keys)."""
+        seqlen = key.shape[-1]
+        lanes = rows * (seqlen // K)
+        kt = _merge_lanes(_chunk_t(key, K))  # (K, lanes)
+        ct = JacobianPoint(
+            _merge_lanes(_chunk_t(val.x, K)),
+            _merge_lanes(_chunk_t(val.y, K)),
+            _merge_lanes(_chunk_t(val.z, K)),
+        )
+        head = jnp.concatenate(
+            [jnp.ones((1, lanes), jnp.bool_), kt[1:] != kt[:-1]]
+        )
+        astream, _ = cops.run_fold_columns(ct.x, ct.y, ct.z, head)
+        # global run ends in sequence order, then chunk-transposed k-major
+        end_seq = jnp.concatenate(
+            [key[:, :-1] != key[:, 1:], jnp.ones((rows, 1), jnp.bool_)],
+            axis=-1,
+        )
+        end_flat = _merge_lanes(_chunk_t(end_seq, K)).reshape(-1)
+        key_flat = kt.astype(jnp.int32).reshape(-1)
+        # the stream (rows*seqlen elements) is SMALLER than the bucket
+        # array (W*BP): scatter run-end stream values directly (the main
+        # column pass has the opposite ratio and gathers instead)
+        end_key = jnp.where(end_flat, key_flat, jnp.int32(W * BP))
+
+        def tmpl(a):
+            return jnp.zeros((*a.shape[1:-1], W * BP), a.dtype)
+
+        binf = cops.infinity_like(
+            JacobianPoint(tmpl(astream.x), tmpl(astream.y), tmpl(astream.z))
+        )
+        KR = astream.x.shape[0] * astream.x.shape[-1]
+
+        def dep(b, a):
+            flat = jnp.moveaxis(a, 0, -2).reshape(*a.shape[1:-1], KR)
+            return b.at[..., end_key].set(flat, mode="drop")
+
+        deposits = JacobianPoint(
+            dep(binf.x, astream.x),
+            dep(binf.y, astream.y),
+            dep(binf.z, astream.z),
+        )
+        trail = JacobianPoint(astream.x[-1], astream.y[-1], astream.z[-1])
+        return deposits, trail, kt
+
+    def unflat(dep):
+        def cut(a):
+            return a.reshape(*a.shape[:-1], W, BP)[..., :num_buckets]
+
+        return JacobianPoint(cut(dep.x), cut(dep.y), cut(dep.z))
+
+    # level 1: W rows of R-length sequences -> (K2 steps, W*128 lanes)
+    b1, trail1, kt1 = level(val, key, W, K2)
+
+    # level 2: the 128 lane-trailing partials per window, fully sequential
+    # (one 128-step chain per window; lanes padded W -> 128 for the kernel)
+    tkey = kt1[-1]  # (W*128,) in lane order l = w*128 + j2
+    fkey = kt1[0]
+    cont2 = jnp.concatenate(
+        [tkey[:-1] == fkey[1:], jnp.zeros((1,), jnp.bool_)]
+    )
+    key2 = jnp.where(cont2, tkey.astype(jnp.int32), DEAD_ALL)
+    inf2 = cops.infinity_like(trail1)
+    val2 = JacobianPoint(
+        o.select(cont2, trail1.x, inf2.x),
+        o.select(cont2, trail1.y, inf2.y),
+        o.select(cont2, trail1.z, inf2.z),
+    )
+    pad = 128 - W
+
+    def rows2(a):
+        r = a.reshape(*a.shape[:-1], W, R2)  # (*E, W, 128)
+        if pad:
+            shp = (*r.shape[:-2], pad, R2)
+            r = jnp.concatenate([r, jnp.zeros(shp, r.dtype)], axis=-2)
+        return r
+
+    key2r = rows2(key2.astype(jnp.int32))
+    if pad:
+        # padded rows: DEAD keys so their deposits drop
+        key2r = key2r.at[W:].set(DEAD_ALL)
+    b2, _, _ = level(
+        JacobianPoint(rows2(val2.x), rows2(val2.y), rows2(val2.z)),
+        key2r,
+        128,
+        R2,
+    )
+    return unflat(b1), unflat(b2)
+
+
+def _weighted_fold_fused(
+    cops, buckets: JacobianPoint, num_buckets: int, signed: bool
+) -> JacobianPoint:
+    """sum_{b>=1} b*S_b per window through the fused fold kernel.
+
+    buckets: (*E, W, num_buckets). Split b = j*Kw + m' (m' in [1, Kw]):
+    feeding each kernel lane its buckets in DESCENDING order makes the
+    kernel's suffix accumulator B end at sum_m' m'*S (each element joins
+    A at step Kw - m' and is re-added into B for m' steps), and A end at
+    T_j = sum S. Then sum_b b*S_b = Kw*sum_j j*T_j + sum_j B_j, with the
+    level-2 sums computed by one more (shared-shape) kernel call over
+    lanes [T | B]. Replaces the split-index tree reduction
+    (`_weighted_reduce`) with two fixed-shape kernel calls so the
+    compiled program carries no log-depth ladder of shape-varied adds.
+    """
+    W = buckets.x.shape[-2]
+    M = num_buckets - 1 if signed else num_buckets  # covered b range [1, M]
+    Rw = 128
+    Kw = M // Rw
+
+    def stream1(a):
+        s = a[..., 1:]  # drop bucket 0 (weight 0)
+        if not signed:
+            # pad a phantom infinity bucket at b = 2^c (zeros == infinity)
+            s = jnp.concatenate(
+                [s, jnp.zeros((*s.shape[:-1], 1), s.dtype)], axis=-1
+            )
+        r = s.reshape(*s.shape[:-1], Rw, Kw)  # [..., w, j, m'-1]
+        r = jnp.flip(r, axis=-1)  # descending m'
+        r = jnp.moveaxis(r, -1, 0)  # (Kw, *E, W, Rw)
+        return r.reshape(r.shape[0], *r.shape[1:-2], W * Rw)
+
+    heads = jnp.zeros((Kw, W * Rw), jnp.bool_)
+    astr, bstr = cops.run_fold_columns(
+        stream1(buckets.x), stream1(buckets.y), stream1(buckets.z), heads
+    )
+
+    def lastrow(p):
+        return JacobianPoint(p.x[-1], p.y[-1], p.z[-1])  # (*E, W*Rw)
+
+    T, Bl = lastrow(astr), lastrow(bstr)
+
+    # level 2: per window, T descending j in lanes [0, W) and B (any
+    # order; only the sum is needed) in lanes [W, 2W); pad to 128 lanes
+    def stream2(a_t, a_b):
+        rt = jnp.flip(a_t.reshape(*a_t.shape[:-1], W, Rw), axis=-1)
+        rb = a_b.reshape(*a_b.shape[:-1], W, Rw)
+        pad = jnp.zeros((*rt.shape[:-2], 128 - 2 * W, Rw), a_t.dtype)
+        rows = jnp.concatenate([rt, rb, pad], axis=-2)  # (*E, 128, Rw)
+        return jnp.moveaxis(rows, -1, 0).reshape(Rw, *rows.shape[:-2], 128)
+
+    heads2 = jnp.zeros((Rw, 128), jnp.bool_)
+    astr2, bstr2 = cops.run_fold_columns(
+        stream2(T.x, Bl.x), stream2(T.y, Bl.y), stream2(T.z, Bl.z), heads2
+    )
+    fin_a, fin_b = lastrow(astr2), lastrow(bstr2)
+
+    def cut(p, lo, hi):
+        return JacobianPoint(p.x[..., lo:hi], p.y[..., lo:hi], p.z[..., lo:hi])
+
+    A2 = cut(fin_a, 0, W)  # sum_j T_j
+    B2 = cut(fin_b, 0, W)  # sum_j (j+1) T_j
+    A3 = cut(fin_a, W, 2 * W)  # sum_j B_j
+    # S_w = Kw*(B2 - A2) + A3
+    d = cops.add(B2, cops.neg(A2))
+    d = JacobianPoint(
+        *jax.lax.fori_loop(
+            0,
+            Kw.bit_length() - 1,
+            lambda _, t: tuple(cops.double(JacobianPoint(*t))),
+            tuple(d),
+        )
+    )
+    wins = cops.add(d, A3)  # (*E, W)
+    return JacobianPoint(
+        wins.x[..., None], wins.y[..., None], wins.z[..., None]
+    )  # (*E, W, 1) — the layout the Horner combine expects
 
 
 def msm(
@@ -611,37 +851,85 @@ def msm(
     # GROUP-LAW representation (hybrid backends: RNS) with layout
     # (*E, W, num_buckets) — the limb/channel axis stays leading, as the
     # field ops require.
-    def window_buckets(d, neg):
-        pts = points
-        if neg is not None:
-            pts = JacobianPoint(
-                points.x, po.select(neg, y_neg, points.y), points.z
-            )
-        return _bucket_sums(cops, d, pts, num_buckets, steps, unroll)
+    def select_pts(neg):
+        if neg is None:
+            return points
+        return JacobianPoint(
+            points.x, po.select(neg, y_neg, points.y), points.z
+        )
 
     enc0 = np.asarray(
         cops.ops.encode([(0, 0) if cops.curve.is_ext else 0])
     )
     store_shape = (*enc0.shape[:-1], num_windows, num_buckets)
+    R = n2 // steps
+    fold_path = (
+        _fused(cops)
+        and hasattr(cops, "run_fold_columns")
+        and R % 128 == 0
+        and ((num_buckets - 1 if signed else num_buckets) % 128 == 0)
+        and 2 * num_windows <= 128
+    )
 
-    def window_body(i, carry):
-        bx, by, bz = carry
-        b = window_buckets(digits[i], negs[i] if signed else None)
+    def put(buf, val, i):
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, val[..., None, :], i, axis=buf.ndim - 2
+        )
 
-        def put(buf, val):
-            return jax.lax.dynamic_update_slice_in_dim(
-                buf, val[..., None, :], i, axis=buf.ndim - 2
+    if fold_path:
+        # store per window: end-deposit buckets + the trailing chunk
+        # accumulators and boundary digits; fold + weighted-reduce run
+        # ONCE over all windows through the shared fold kernel
+        def window_body(i, carry):
+            bx, by, bz, tx, ty, tz, ld, fd = carry
+            ba, acc_last, d_t = _bucket_sums_fused(
+                cops,
+                digits[i],
+                select_pts(negs[i] if signed else None),
+                num_buckets,
+                steps,
+                parts=True,
+            )
+            return (
+                put(bx, ba.x, i), put(by, ba.y, i), put(bz, ba.z, i),
+                put(tx, acc_last.x, i), put(ty, acc_last.y, i),
+                put(tz, acc_last.z, i),
+                put(ld, d_t[-1], i), put(fd, d_t[0], i),
             )
 
-        return put(bx, b.x), put(by, b.y), put(bz, b.z)
+        trail_shape = (*enc0.shape[:-1], num_windows, R)
+        init = tuple(jnp.zeros(store_shape, enc0.dtype) for _ in range(3)) + tuple(
+            jnp.zeros(trail_shape, enc0.dtype) for _ in range(3)
+        ) + tuple(jnp.zeros((num_windows, R), digits.dtype) for _ in range(2))
+        out = jax.lax.fori_loop(0, num_windows, window_body, init)
+        bx, by, bz, tx, ty, tz, ld, fd = out
+        b1, b2 = _fold_trailing_fused(
+            cops, JacobianPoint(tx, ty, tz), ld, fd, num_buckets
+        )
+        buckets = cops.add(cops.add(JacobianPoint(bx, by, bz), b1), b2)
+        wins = _weighted_fold_fused(cops, buckets, num_buckets, signed)
+    else:
+        def window_body(i, carry):
+            bx, by, bz = carry
+            b = _bucket_sums(
+                cops,
+                digits[i],
+                select_pts(negs[i] if signed else None),
+                num_buckets,
+                steps,
+                unroll,
+            )
+            return put(bx, b.x, i), put(by, b.y, i), put(bz, b.z, i)
 
-    init = tuple(jnp.zeros(store_shape, enc0.dtype) for _ in range(3))
-    bx, by, bz = jax.lax.fori_loop(0, num_windows, window_body, init)
-    wins = (
-        _weighted_reduce_signed(cops, JacobianPoint(bx, by, bz), window_bits)
-        if signed
-        else _weighted_reduce(cops, JacobianPoint(bx, by, bz), window_bits)
-    )  # coords: (*E, W, 1)
+        init = tuple(jnp.zeros(store_shape, enc0.dtype) for _ in range(3))
+        bx, by, bz = jax.lax.fori_loop(0, num_windows, window_body, init)
+        wins = (
+            _weighted_reduce_signed(
+                cops, JacobianPoint(bx, by, bz), window_bits
+            )
+            if signed
+            else _weighted_reduce(cops, JacobianPoint(bx, by, bz), window_bits)
+        )  # coords: (*E, W, 1)
 
     # Horner from the most significant window down:
     # acc = W_{last}; for w = last-1..0: acc = 2^c * acc + W_w

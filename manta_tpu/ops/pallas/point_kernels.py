@@ -642,6 +642,116 @@ def accumulate_columns(curve, px, py, qinf, head):
 
 
 # ---------------------------------------------------------------------------
+# Fused fold/weighted column kernel: sequential FULL adds over a projective
+# stream, with a secondary suffix accumulator (B += A each step)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
+    """Sequential-column segmented reduction over a *projective* stream.
+
+    Per lane j, over steps k = 0..K-1:
+        A = q[k]            if head[k] else  A + q[k]   (complete add)
+        B = B + A
+    emitting the post-step A stream (for run-end extraction — the same
+    compaction as the madd column pass) and B's final row (for the
+    weighted bucket reduction: with q[k] = S_{base + K - k} fed in
+    descending bucket order, the final A = sum S and final
+    B = sum_m m * S_{base+m} — the split-index weighted-sum trick of
+    `manta_tpu.ops.msm` without a single shape-shrinking tree level).
+
+    One kernel body serves both the cross-chunk partial folding and the
+    weighted reduction, so the whole post-column MSM pipeline adds ~3
+    Mosaic compilations instead of ~20 shape-varied tree/scan kernels
+    (the round-3 bench measured 755s of XLA+Mosaic compile for the MSM
+    program; compile time is a first-class constraint — the driver runs
+    cold).
+    """
+    kc = _kernel_curve(curve)
+    L = curve.field.num_limbs
+    ext = curve.is_ext
+    Rb = min(COLUMN_LANE_BLOCK, R)
+    Kb = min(COLUMN_STEP_BLOCK, K)
+    assert R % Rb == 0 and K % Kb == 0
+    edims = (2, L) if ext else (L,)
+
+    coord_spec = pl.BlockSpec(
+        (Kb, *edims, Rb),
+        (lambda r, k: (k, 0, 0, r)) if ext else (lambda r, k: (k, 0, r)),
+        memory_space=pltpu.VMEM,
+    )
+    mask_spec = pl.BlockSpec(
+        (Kb, Rb), lambda r, k: (k, r), memory_space=pltpu.VMEM
+    )
+    def kernel(
+        qx, qy, qz, head,
+        oa_x, oa_y, oa_z, ob_x, ob_y, ob_z,
+        sax, say, saz, sbx, sby, sbz,
+    ):
+        o = kc.ops
+        kb = pl.program_id(1)
+
+        @pl.when(kb == 0)
+        def _():
+            for s in (sax, saz, sbx, sbz):
+                s[...] = jnp.zeros_like(s)
+            say[...] = o.one_like(say[...])
+            sby[...] = o.one_like(sby[...])
+
+        def body(j, carry):
+            ax, ay, az, bx, by, bz = carry
+            q = JacobianPoint(
+                kc.load_coord(qx[j]), kc.load_coord(qy[j]), kc.load_coord(qz[j])
+            )
+            added = kc.add(JacobianPoint(ax, ay, az), q)
+            h = head[j] != 0
+            acc = JacobianPoint(
+                o.select(h, q.x, added.x),
+                o.select(h, q.y, added.y),
+                o.select(h, q.z, added.z),
+            )
+            bsum = kc.add(JacobianPoint(bx, by, bz), acc)
+            oa_x[j] = kc.store_coord(acc.x)
+            oa_y[j] = kc.store_coord(acc.y)
+            oa_z[j] = kc.store_coord(acc.z)
+            ob_x[j] = kc.store_coord(bsum.x)
+            ob_y[j] = kc.store_coord(bsum.y)
+            ob_z[j] = kc.store_coord(bsum.z)
+            return (*acc, *bsum)
+
+        carry0 = (sax[...], say[...], saz[...], sbx[...], sby[...], sbz[...])
+        out = jax.lax.fori_loop(0, Kb, body, carry0)
+        sax[...], say[...], saz[...] = out[0], out[1], out[2]
+        sbx[...], sby[...], sbz[...] = out[3], out[4], out[5]
+
+    shape = (K, *edims, R)
+    scratch = [
+        pltpu.VMEM((*kc.internal_edims(), Rb), jnp.uint32) for _ in range(6)
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(shape, jnp.uint32) for _ in range(6)
+        ),
+        grid=(R // Rb, K // Kb),
+        in_specs=[coord_spec] * 3 + [mask_spec],
+        out_specs=tuple([coord_spec] * 6),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )
+
+
+def fold_columns(curve, qx, qy, qz, head):
+    """Run the fold/weighted column kernel. Returns two JacobianPoint
+    streams (K, *E, R): the post-step segmented accumulator A, and the
+    suffix accumulator B (B[k] = sum_{k' <= k} A[k'])."""
+    K, R = qx.shape[0], qx.shape[-1]
+    out = _fold_call(curve, K, R)(qx, qy, qz, head.astype(jnp.int32))
+    return JacobianPoint(*out[:3]), JacobianPoint(*out[3:])
+
+
+# ---------------------------------------------------------------------------
 # Fused curve-ops backend
 # ---------------------------------------------------------------------------
 
@@ -667,6 +777,9 @@ class FusedCurveOps(C.CurveOps):
 
     def run_columns(self, px, py, qinf, head):
         return accumulate_columns(self.curve, px, py, qinf, head)
+
+    def run_fold_columns(self, qx, qy, qz, head):
+        return fold_columns(self.curve, qx, qy, qz, head)
 
 
 @functools.lru_cache(maxsize=None)

@@ -868,6 +868,10 @@ class RnsFusedCurveOps(C.CurveOps):
     detects `run_columns` and fuses the whole bucket-accumulation pass.
     """
 
+    @property
+    def limb16_points(self) -> bool:
+        return False  # points are packed int32 residues, not 16-bit limbs
+
     def add(self, p: JacobianPoint, q: JacobianPoint) -> JacobianPoint:
         return _run_point_op(self.curve, "add", p, q)
 
@@ -918,6 +922,10 @@ class RnsHybridCurveOps(RnsFusedCurveOps):
     The asymmetry is intentional: `encode_points` produces limb batches
     (kernel feed), `decode_points` consumes RNS batches (kernel output).
     """
+
+    @property
+    def limb16_points(self) -> bool:
+        return not self.curve.is_ext  # point arrays stay 16-bit limb rows
 
     @functools.cached_property
     def point_ops(self):

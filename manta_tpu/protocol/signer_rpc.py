@@ -110,7 +110,12 @@ class SignerServer:
         return self
 
     def stop(self):
-        self.httpd.shutdown()
+        # shutdown() blocks on serve_forever's exit handshake — only valid
+        # when the serving thread actually started (the WebSocket binding
+        # reuses `handle` without ever starting the HTTP daemon)
+        if self.thread.is_alive():
+            self.httpd.shutdown()
+        self.httpd.server_close()
 
 
 class SignerClient:

@@ -171,6 +171,7 @@ class WsSignerServer:
 
     def stop(self):
         self._ws.shutdown()
+        self._ws.server_close()
         try:
             self._core.stop()
         except Exception:  # noqa: BLE001 — core HTTP server may not be started

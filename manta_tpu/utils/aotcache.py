@@ -26,7 +26,16 @@ import hashlib
 import os
 from typing import Callable
 
-CACHE_DIR = "/root/repo/.jax_cache/export"
+def _cache_dir() -> str:
+    if "MANTA_AOT_CACHE_DIR" in os.environ:
+        return os.environ["MANTA_AOT_CACHE_DIR"]
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(pkg_root, ".jax_cache", "export")
+
+
+CACHE_DIR = _cache_dir()
 
 
 @functools.lru_cache(maxsize=1)
@@ -59,13 +68,19 @@ def enabled() -> bool:
         return False
 
 
-def _key(tag: str, args) -> str:
+def _key(tag: str, mesh, args) -> str:
     import jax
 
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(_source_hash().encode())
     h.update(tag.encode())
+    # exported programs are lowered for a specific device mesh: a replay at
+    # a different device count / axis layout must miss, not fail
+    if mesh is not None:
+        h.update(
+            f"mesh:{tuple(mesh.shape.items())}:{mesh.devices.size};".encode()
+        )
     leaves, treedef = jax.tree_util.tree_flatten(args)
     h.update(str(treedef).encode())
     for leaf in leaves:
@@ -86,23 +101,38 @@ def call_cached(tag: str, make_jit_fn: Callable, mesh, *args):
         return make_jit_fn()(*args)
     from jax import export as jexport
 
-    key = _key(tag, args)
+    key = _key(tag, mesh, args)
     exp = _MEM.get(key)
-    if exp is None:
-        path = os.path.join(CACHE_DIR, f"{key}.jaxexport")
-        if os.path.exists(path):
+    path = os.path.join(CACHE_DIR, f"{key}.jaxexport")
+    if exp is None and os.path.exists(path):
+        try:
             with open(path, "rb") as f:
                 exp = jexport.deserialize(bytearray(f.read()))
-        else:
-            abstract = jax.tree_util.tree_map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args
-            )
-            exp = jexport.export(make_jit_fn())(*abstract)
-            os.makedirs(CACHE_DIR, exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(exp.serialize())
-            os.replace(tmp, path)
-        _MEM[key] = exp
-    with jax.set_mesh(mesh):
-        return exp.call(*args)
+        except Exception:  # noqa: BLE001 — stale/corrupt artifact: rebuild
+            exp = None
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    if exp is None:
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args
+        )
+        exp = jexport.export(make_jit_fn())(*abstract)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+    _MEM[key] = exp
+    try:
+        with jax.set_mesh(mesh):
+            return exp.call(*args)
+    except Exception:  # noqa: BLE001 — replay failed (e.g. stale artifact
+        # exported for another device layout): fall back to a live jit
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        _MEM.pop(key, None)
+        return make_jit_fn()(*args)

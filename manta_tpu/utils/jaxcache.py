@@ -12,7 +12,29 @@ warm; every other platform gets its own subdirectory.
 
 from __future__ import annotations
 
-CACHE_ROOT = "/root/repo/.jax_cache"
+import hashlib
+import os
+
+CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+
+def _machine_tag() -> str:
+    """Short fingerprint of the host CPU. XLA:CPU cache entries embed AOT
+    machine features; loading an entry compiled on a different host fails
+    (hundreds of noisy cpu_aot_loader errors + recompiles — the driver
+    runs each round on a fresh VM with different CPU flags). Scoping the
+    CPU cache dir by CPU model keeps stale-host entries out of the way."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "generic"
 
 
 def enable_compile_cache() -> None:
@@ -23,6 +45,8 @@ def enable_compile_cache() -> None:
         primary = platforms.split(",")[0].strip() if platforms else ""
         if primary in ("", "axon", "tpu"):
             cache_dir = CACHE_ROOT
+        elif primary == "cpu":
+            cache_dir = f"{CACHE_ROOT}/cpu-{_machine_tag()}"
         else:
             cache_dir = f"{CACHE_ROOT}/{primary}"
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -29,13 +29,13 @@ if jax.config.jax_platforms != "cpu":
 # Persistent compile cache: the big-integer kernels lower to large XLA graphs
 # whose CPU compiles take minutes; cache them across test runs.
 #
-# Platform-scoped subdirectory: the TPU driver writes chip-compiled entries
-# into /root/repo/.jax_cache, and deserializing a TPU-written XLA cache entry
-# on the CPU backend is fatal (segfault inside the cache read). CPU tests get
-# their own namespace.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Platform- AND machine-scoped subdirectory (see utils/jaxcache.py): TPU
+# entries are fatal to deserialize on CPU, and XLA:CPU AOT entries embed
+# host CPU features — each round runs on a fresh VM whose features differ,
+# so stale-host entries fail to load with hundreds of noisy errors.
+from manta_tpu.utils.jaxcache import enable_compile_cache
+
+enable_compile_cache()
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import random

@@ -8,6 +8,7 @@ the env-gated slow test + the benchmark harness.
 
 import os
 
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -160,6 +161,65 @@ class TestMsm:
         expected = curve.msm(scalars, points)
         sc = jnp.asarray(F.encode_ints(curve.scalar_field, scalars, montgomery=False))
         result = M.msm_jit(ops, sc, ops.encode_points(points), 4)
+        assert ops.decode_points(result) == [expected]
+
+
+class TestFoldReduction:
+    """The fused fold/weighted bucket-reduction path (kernel-consolidated
+    MSM tail) on the toy curve: 2-limb fields keep the interpret-mode
+    Pallas bodies small enough for quick CPU runs."""
+
+    def _run(self, rng, n, window, steps, signed, n_points=None):
+        ops = C.curve_ops_for(TOY, "fused")
+        n_points = n_points or n
+        points = toy_points(rng, n_points)
+        # duplicate + infinity lanes exercise the add edge cases
+        if n_points > 8:
+            points[3] = points[2]
+            points[7] = None
+        scalars = [
+            rng.randrange(TOY.scalar_field.modulus) for _ in range(n_points)
+        ]
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(
+            F.encode_ints(TOY.scalar_field, scalars, montgomery=False)
+        )
+        result = M.msm_jit(
+            ops,
+            sc,
+            ops.encode_points(points),
+            window,
+            False,
+            steps,
+            TOY.scalar_field.bits,
+            signed,
+        )
+        assert ops.decode_points(result) == [expected]
+
+    def test_fold_path_signed(self, rng):
+        # R = 2048/16 = 128, M = 2^8 = 256: engages the fold kernels
+        self._run(rng, 2048, 9, 16, True)
+
+    def test_fold_path_unsigned(self, rng):
+        # unsigned M = 2^9 = 512 incl. the phantom top-bucket pad
+        self._run(rng, 2048, 9, 16, False)
+
+    def test_fold_path_multi_chunk_runs(self, rng):
+        # few distinct scalars -> giant buckets spanning many chunks:
+        # exercises the 2-level trailing-partial fold
+        ops = C.curve_ops_for(TOY, "fused")
+        n = 2048
+        base = [rng.randrange(1, TOY.scalar_field.modulus) for _ in range(3)]
+        scalars = [base[i % 3] for i in range(n)]
+        points = toy_points(rng, n)
+        expected = TOY.msm(scalars, points)
+        sc = jnp.asarray(
+            F.encode_ints(TOY.scalar_field, scalars, montgomery=False)
+        )
+        result = M.msm_jit(
+            ops, sc, ops.encode_points(points), 9, False, 16,
+            TOY.scalar_field.bits, True,
+        )
         assert ops.decode_points(result) == [expected]
 
 
