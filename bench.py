@@ -105,40 +105,19 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
             jnp.asarray(data["x"]), jnp.asarray(data["y"]), jnp.asarray(data["z"])
         )
     else:
-        log(f"[bench] building {n} distinct points on device ...")
+        # host-side sequential build: (i+1)*G for i in [0, n) — ~40us per
+        # affine add, ~45s at 2^20, and ZERO device programs to compile
+        log(f"[bench] building {n} distinct points on host ...")
+        t0 = time.time()
         g = curve.generator
-        base_pts, offs_pts = [], []
+        host_pts = []
         acc = g
-        for _ in range(256):
-            base_pts.append(acc)
+        for _ in range(n):
+            host_pts.append(acc)
             acc = curve.add(acc, g)
-        step256 = curve.scalar_mul(256, g)
-        acc = step256
-        for _ in range(n // 256):
-            offs_pts.append(acc)
-            acc = curve.add(acc, step256)
-        base = build_cops.encode_points(base_pts)  # (L, 256)
-        offs = build_cops.encode_points(offs_pts)  # (L, n/256)
-        tiles = n // 256
-
-        @jax.jit
-        def build(bx, by, bz, ox, oy, oz):
-            b = JacobianPoint(
-                jnp.tile(bx, (1, tiles)),
-                jnp.tile(by, (1, tiles)),
-                jnp.tile(bz, (1, tiles)),
-            )
-            o = JacobianPoint(
-                jnp.repeat(ox, 256, axis=-1),
-                jnp.repeat(oy, 256, axis=-1),
-                jnp.repeat(oz, 256, axis=-1),
-            )
-            return tuple(build_cops.to_affine(build_cops.madd(o, b)))
-
-        pts = JacobianPoint(
-            *build(base.x, base.y, base.z, offs.x, offs.y, offs.z)
-        )
-        jax.block_until_ready(pts.x)
+        log(f"[bench] host build: {time.time() - t0:.1f}s; encoding ...")
+        enc = build_cops.encode_points(host_pts)
+        pts = JacobianPoint(enc.x, enc.y, enc.z)
         try:
             np.savez(
                 cache_file,

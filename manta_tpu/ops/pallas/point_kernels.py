@@ -47,9 +47,13 @@ from manta_tpu.utils import hostmath
 MASK = LIMB_MASK
 BASE = 1 << LIMB_BITS
 
+import os
+
 LANE_BLOCK = 512  # lanes per grid step for single-op kernels
-COLUMN_LANE_BLOCK = 256  # R-lanes per grid step for the column kernel
-COLUMN_STEP_BLOCK = 8  # K-steps per grid step for the column kernel
+# column-kernel block shape (R-lanes / K-steps per grid step); env-tunable
+# for on-chip block-size sweeps (tools/tune_column.py)
+COLUMN_LANE_BLOCK = int(os.environ.get("MANTA_COLUMN_RB", "128"))
+COLUMN_STEP_BLOCK = int(os.environ.get("MANTA_COLUMN_KB", "8"))
 
 
 @functools.lru_cache(maxsize=1)
@@ -546,7 +550,13 @@ def fused_double(curve, p: JacobianPoint) -> JacobianPoint:
 
 
 @functools.lru_cache(maxsize=None)
-def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
+def _column_call(
+    curve: hostmath.WeierstrassCurve,
+    K: int,
+    R: int,
+    rb: int = 0,
+    kb: int = 0,
+):
     """Build the sequential-column accumulation kernel.
 
     Inputs (XLA-side):
@@ -562,8 +572,8 @@ def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
     kc = _kernel_curve(curve)
     L = curve.field.num_limbs
     ext = curve.is_ext
-    Rb = min(COLUMN_LANE_BLOCK, R)
-    Kb = min(COLUMN_STEP_BLOCK, K)
+    Rb = rb or min(COLUMN_LANE_BLOCK, R)
+    Kb = kb or min(COLUMN_STEP_BLOCK, K)
     assert R % Rb == 0 and K % Kb == 0
     edims = (2, L) if ext else (L,)
 
@@ -632,11 +642,11 @@ def _column_call(curve: hostmath.WeierstrassCurve, K: int, R: int):
     )
 
 
-def accumulate_columns(curve, px, py, qinf, head):
+def accumulate_columns(curve, px, py, qinf, head, rb: int = 0, kb: int = 0):
     """Run the fused K-step column accumulation. See `_column_call`."""
     K = px.shape[0]
     R = px.shape[-1]
-    return _column_call(curve, K, R)(
+    return _column_call(curve, K, R, rb, kb)(
         px, py, qinf.astype(jnp.int32), head.astype(jnp.int32)
     )
 

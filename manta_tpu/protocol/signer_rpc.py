@@ -24,6 +24,7 @@ from manta_tpu.protocol import ledger as L
 from manta_tpu.protocol import notes as N
 from manta_tpu.protocol import rpc as RPC
 from manta_tpu.protocol import wallet as W
+from manta_tpu.protocol.network import NonexistentWallet as NET_ERR
 
 
 class _RemoteLedgerAdapter:
@@ -37,14 +38,28 @@ class _RemoteLedgerAdapter:
 
 
 class SignerServer:
+    """`signer` may be a single `wallet.Signer` (single-network daemon) or
+    a `network.NetworkSpecific` of signers — one wallet per network, with
+    each request routed by its `network` field (reference
+    `signer/client/network.rs`, `client/http.rs:71-77`)."""
+
     def __init__(
         self,
-        signer: W.Signer,
+        signer,
         ledger_url: str,
         host: str = "127.0.0.1",
         port: int = 0,
     ):
-        self.signer = signer
+        from manta_tpu.protocol import network as NET
+
+        self._networks = (
+            signer if isinstance(signer, NET.NetworkSpecific) else None
+        )
+        self.signer = (
+            signer
+            if self._networks is None
+            else next(iter(self._networks.items()))[1]
+        )
         self.ledger = _RemoteLedgerAdapter(RPC.LedgerClient(ledger_url))
         self.lock = threading.Lock()
         outer = self
@@ -66,6 +81,10 @@ class SignerServer:
                 data = json.loads(self.rfile.read(length) or b"{}")
                 try:
                     self._reply(200, outer.handle(self.path.lstrip("/"), data))
+                except NET_ERR as e:
+                    self._reply(
+                        400, {"error": f"no wallet for network {e.network.value}"}
+                    )
                 except KeyError:
                     self._reply(404, {"error": "unknown endpoint"})
                 except ValueError as e:
@@ -77,32 +96,45 @@ class SignerServer:
         self.port = self.httpd.server_address[1]
         self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
 
+    def _resolve(self, data: dict) -> W.Signer:
+        """Pick the signer for the request's network (multi-network daemon)
+        or the sole signer (single-network)."""
+        from manta_tpu.protocol import network as NET
+
+        net = NET.unwrap_network(data)
+        if self._networks is None:
+            return self.signer
+        if net is None:
+            raise ValueError("multi-network signer requires a network field")
+        return self._networks[net]  # raises NonexistentWallet
+
     def handle(self, method: str, data: dict) -> dict:
         """Transport-agnostic request dispatch (shared by the HTTP daemon
         and the WebSocket binding, `protocol/websocket.py`)."""
         with self.lock:
+            signer = self._resolve(data)
             if method == "sync":
-                deltas = self.signer.sync(self.ledger)
+                deltas = signer.sync(self.ledger)
                 return {"deltas": {str(k): v for k, v in deltas.items()}}
             if method == "address":
-                return {"address": RPC._point(self.signer.address)}
+                return {"address": RPC._point(signer.address)}
             if method == "balance":
-                return {"balance": self.signer.balance(int(data["asset_id"]))}
+                return {"balance": signer.balance(int(data["asset_id"]))}
             if method == "sign":
-                post = self._sign(data)
+                post = self._sign(signer, data)
                 return {"post": RPC.encode_post(post)}
             raise KeyError(method)
 
-    def _sign(self, data: dict):
+    def _sign(self, signer: W.Signer, data: dict):
         kind = data["kind"]
         asset = N.Asset(id=int(data["asset_id"]), value=int(data["value"]))
         if kind == "to_private":
-            return self.signer.sign_to_private(asset)
+            return signer.sign_to_private(asset)
         if kind == "private_transfer":
             address = RPC._unpoint(data["address"])
-            return self.signer.sign_private_transfer(address, asset)
+            return signer.sign_private_transfer(address, asset)
         if kind == "to_public":
-            return self.signer.sign_to_public(asset)
+            return signer.sign_to_public(asset)
         raise ValueError(f"unknown sign kind {kind}")
 
     def start(self):
@@ -120,17 +152,24 @@ class SignerServer:
 
 class SignerClient:
     """Wallet-side connection to a remote signer (reference
-    `signer/client/http.rs:44`)."""
+    `signer/client/http.rs:44`). `set_network` scopes every request to one
+    network of a multi-network daemon (`http.rs:65-77`)."""
 
-    def __init__(self, url: str):
+    def __init__(self, url: str, network=None):
         self.url = url.rstrip("/")
+        self.network = network
+
+    def set_network(self, network) -> None:
+        self.network = network
 
     def _call(self, path: str, payload: dict) -> dict:
         from urllib.request import Request, urlopen
 
+        from manta_tpu.protocol import network as NET
+
         req = Request(
             self.url + path,
-            data=json.dumps(payload).encode(),
+            data=json.dumps(NET.wrap_request(payload, self.network)).encode(),
             headers={"Content-Type": "application/json"},
         )
         with urlopen(req) as resp:

@@ -206,11 +206,19 @@ class WsSignerClient:
         assert f"Sec-WebSocket-Accept: {expected}" in head, "bad accept key"
         self._lock = threading.Lock()
 
+    def set_network(self, network) -> None:
+        """Scope subsequent requests to one network of a multi-network
+        signer (reference `client/network.rs` + `http.rs:65-77`)."""
+        self.network = network
+
     def _call(self, method: str, payload: Optional[dict] = None) -> dict:
+        from manta_tpu.protocol import network as NET
+
+        body = NET.wrap_request(payload or {}, getattr(self, "network", None))
         with self._lock:
             send_frame(
                 self.sock,
-                json.dumps({"method": method, "payload": payload or {}}).encode(),
+                json.dumps({"method": method, "payload": body}).encode(),
                 mask=True,
             )
             while True:

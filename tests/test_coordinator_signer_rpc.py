@@ -162,3 +162,49 @@ def test_signer_websocket_end_to_end(tp_keys):
     finally:
         ws_srv.stop()
         ledger_srv.stop()
+
+
+def test_multi_network_signer(tp_keys):
+    """One signer daemon serving per-network wallets; requests route by
+    their network field (reference `signer/client/network.rs`,
+    `client/http.rs:65-77`)."""
+    from manta_tpu.protocol import network as NET
+
+    ledger = L.Ledger(CFG_T, tp_keys)
+    ledger.deposit("gil", 4, 500)
+    srv = RPC.LedgerServer(ledger).start()
+    signers = NET.NetworkSpecific(
+        dolphin=W.Signer(CFG_T, tp_keys, 11111, random.Random(21)),
+        calamari=W.Signer(CFG_T, tp_keys, 22222, random.Random(22)),
+    )
+    sig_srv = SR.SignerServer(
+        signers, f"http://127.0.0.1:{srv.port}"
+    ).start()
+    try:
+        url = f"http://127.0.0.1:{sig_srv.port}"
+        dol = SR.SignerClient(url, NET.Network.DOLPHIN)
+        cal = SR.SignerClient(url)
+        cal.set_network(NET.Network.CALAMARI)
+        assert dol.address() == signers[NET.Network.DOLPHIN].address
+        assert cal.address() == signers[NET.Network.CALAMARI].address
+        assert dol.address() != cal.address()
+        # a network with no wallet -> HTTP 400, surfaced as an error
+        import urllib.error
+
+        manta = SR.SignerClient(url, NET.Network.MANTA)
+        with pytest.raises(urllib.error.HTTPError):
+            manta.address()
+        # a multi-network daemon rejects network-less requests
+        bare = SR.SignerClient(url)
+        with pytest.raises(urllib.error.HTTPError):
+            bare.address()
+        # post a dolphin-side transfer end to end
+        post = dol.sign("to_private", N.Asset(4, 60))
+        RPC.LedgerClient(f"http://127.0.0.1:{srv.port}").push(
+            post, sources=["gil"]
+        )
+        assert dol.sync().get(4) == 60
+        assert cal.sync() in ({}, {4: 0})  # calamari wallet saw nothing
+    finally:
+        sig_srv.stop()
+        srv.stop()

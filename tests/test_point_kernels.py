@@ -3,8 +3,16 @@
 Verifies the whole-formula kernels (`manta_tpu.ops.pallas.point_kernels`)
 against host big-int ground truth, including the branchless edge cases and
 the fused MSM column accumulation.
+
+The TOY-curve tests (2-limb fields) always run; the BLS12-381 classes are
+gated behind MANTA_TPU_SLOW_TESTS — XLA:CPU takes tens of minutes PER
+KERNEL to compile the inlined 24-limb interpret-mode bodies on a fresh
+machine (measured >20 min for one fused add; the kernels share every line
+with the toy instantiation except the FieldSpec constants, and the real
+curves are exercised on the chip by bench.py / the device tests).
 """
 
+import os
 import random
 
 import jax.numpy as jnp
@@ -15,6 +23,13 @@ from manta_tpu.ops import msm as M
 from manta_tpu.ops.curve import JacobianPoint
 from manta_tpu.ops.pallas import point_kernels as PK
 from manta_tpu.utils import hostmath
+
+SLOW = os.environ.get("MANTA_TPU_SLOW_TESTS") == "1"
+slow_only = pytest.mark.skipif(
+    not SLOW,
+    reason="set MANTA_TPU_SLOW_TESTS=1 (tens of minutes of XLA:CPU compile "
+    "per 24-limb interpret-mode kernel on a fresh machine)",
+)
 
 
 def _host_points(curve, ks):
@@ -28,6 +43,42 @@ def g1():
     return PK.fused_curve_ops_for(hostmath.BLS12_381_G1)
 
 
+class TestToyFusedPointOps:
+    """Edge-case coverage of the fused formulas on the toy curve — cheap
+    interpret-mode bodies, every dispatch path."""
+
+    @pytest.fixture(scope="class")
+    def toy(self):
+        return PK.fused_curve_ops_for(hostmath.TOY_G1)
+
+    def test_add_with_edge_cases(self, toy):
+        curve = toy.curve
+        p_ks = [3, 5, 0, 7, 11, 13]
+        q_ks = [4, 0, 6, 7, curve.scalar_field.modulus - 11, 17]
+        p_host = _host_points(curve, p_ks)
+        q_host = _host_points(curve, q_ks)
+        got = toy.decode_points(
+            toy.add(toy.encode_points(p_host), toy.encode_points(q_host))
+        )
+        assert got == [curve.add(a, b) for a, b in zip(p_host, q_host)]
+
+    def test_madd_and_double(self, toy):
+        curve = toy.curve
+        p_ks = [2, 9, 0, 8, 21]
+        q_ks = [5, 0, 3, 8, curve.scalar_field.modulus - 21]
+        p_host = _host_points(curve, p_ks)
+        q_host = _host_points(curve, q_ks)
+        got = toy.decode_points(
+            toy.madd(toy.encode_points(p_host), toy.encode_points(q_host))
+        )
+        assert got == [curve.add(a, b) for a, b in zip(p_host, q_host)]
+        ks = [1, 2, 0, 9]
+        host = _host_points(curve, ks)
+        got = toy.decode_points(toy.double(toy.encode_points(host)))
+        assert got == [curve.double(a) for a in host]
+
+
+@slow_only
 class TestFusedPointOps:
     def test_add_with_edge_cases(self, g1):
         curve = g1.curve
@@ -84,6 +135,7 @@ class TestFusedPointOps:
         assert got == [curve.add(a, b) for a, b in zip(p_host, q_host)]
 
 
+@slow_only
 class TestFusedMsm:
     @pytest.mark.parametrize("signed", [False, True], ids=["unsigned", "signed"])
     def test_msm_matches_host(self, g1, signed):
