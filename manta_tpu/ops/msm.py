@@ -7,8 +7,9 @@ no data-dependent control flow —
 1. **Windows**: c-bit windows (any c <= 16; signed recoding halves the
    bucket count and trims the window count to ceil(bits/c)).
 2. **Bucket accumulation** per window — *sequential-column segmented
-   reduce*: group point indices by digit (a two-pass radix counting sort,
-   `_counting_sort_order` — ~2x the TPU sort unit at 2^20); lane j owns
+   reduce*: group point indices by digit (ONE `lax.sort_key_val` batched
+   over all windows — the sort unit pipelines batch rows, 3ms/window
+   amortized at 2^20); lane j owns
    the contiguous sorted chunk [jK, (j+1)K); the whole K-step column loop
    runs as ONE Pallas kernel (mixed adds on the affine sorted-point
    stream, accumulator restarting at digit boundaries). Run-end positions
@@ -281,11 +282,10 @@ def _fold_partials(
 def _counting_sort_order(digits: jnp.ndarray, num_keys: int) -> jnp.ndarray:
     """Stable two-pass radix argsort for digit keys in [0, num_keys).
 
-    Why not `jnp.argsort`: the TPU sort unit runs a 1M-element key/value
-    sort in ~39ms (~0.6 elem-ops/cycle, n log^2 n comparators); this
-    formulation is block one-hot histograms + cumsums + 1-row
-    gathers/scatters (~4 n-element index moves per pass), ~2x faster at
-    2^20 and linear in n. Stability makes the two 8-bit passes compose.
+    NO LONGER on the MSM hot path: measured on-chip at 2^20 it is 5x
+    SLOWER than `lax.sort_key_val` (142ms vs 25ms — the block one-hot
+    histograms move ~0.5GB per pass), and the batched sort amortizes to
+    3ms/window. Kept as the dtype-flexible fallback and for its tests.
     """
     n = digits.shape[-1]
     B = 128  # block width: per-block counts fit uint8 (max 128 <= 255)
@@ -332,16 +332,27 @@ def _counting_sort_order(digits: jnp.ndarray, num_keys: int) -> jnp.ndarray:
     return one_pass(d >> jnp.int32(8), k2, o1)
 
 
-def _sorted_layout(digits: jnp.ndarray, steps: int, num_keys: int = 0):
+def _sorted_layout(
+    digits: jnp.ndarray, steps: int, num_keys: int = 0, presorted=None
+):
     """Sort digits; return (perm, d_t, head, end) in the chunk-transposed
-    (K, R) layout: element [k, j] = sorted[j*K + k]."""
+    (K, R) layout: element [k, j] = sorted[j*K + k].
+
+    `presorted = (order, d_sorted)` skips the sort — the fold path sorts
+    ALL windows with one batched `lax.sort_key_val` outside the window
+    loop (the TPU sort unit pipelines batch rows: 16x1M batched sort
+    measured 51ms vs 16x29ms separate argsorts and 16x142ms counting
+    sorts — the counting sort's block one-hot histograms are 5x SLOWER
+    than the sort unit at 2^20, round-3 note to the contrary was wrong).
+    """
     n = digits.shape[-1]
     lanes = n // steps
-    if num_keys and n % 128 == 0 and n >= 1024:
-        order = _counting_sort_order(digits, num_keys)
+    if presorted is not None:
+        order, d_sorted = presorted
     else:
-        order = jnp.argsort(digits)
-    d_sorted = jnp.take(digits, order)
+        d_sorted, order = jax.lax.sort_key_val(
+            digits, jnp.arange(n, dtype=jnp.int32)
+        )
     perm = order.reshape(lanes, steps).T.reshape(-1)
     d_t = d_sorted.reshape(lanes, steps).T  # (K, R)
     big = jnp.asarray(jnp.iinfo(d_t.dtype).max, d_t.dtype)
@@ -387,6 +398,7 @@ def _bucket_sums_fused(
     num_buckets: int,
     steps: int,
     parts: bool = False,
+    presorted=None,
 ) -> JacobianPoint:
     """Fused-kernel bucket accumulation: the whole K-step column loop runs
     as ONE Pallas kernel emitting the post-step accumulator stream; the
@@ -404,7 +416,9 @@ def _bucket_sums_fused(
     """
     n = digits.shape[-1]
     lanes = n // steps
-    perm, d_t, head, end = _sorted_layout(digits, steps, num_buckets)
+    perm, d_t, head, end = _sorted_layout(
+        digits, steps, num_buckets, presorted
+    )
 
     def gather_kt(a):
         taken = jnp.take(a, perm, axis=-1)
@@ -877,6 +891,14 @@ def msm(
         )
 
     if fold_path:
+        # ONE batched sort for all windows: the TPU sort unit pipelines
+        # batch rows (16x1M batched sort_key_val: 51ms, vs 16 separate
+        # counting sorts: 1.8s — it was HALF the whole MSM runtime)
+        iota = jnp.broadcast_to(
+            jnp.arange(n2, dtype=jnp.int32), digits.shape
+        )
+        d_sorted_all, order_all = jax.lax.sort_key_val(digits, iota)
+
         # store per window: end-deposit buckets + the trailing chunk
         # accumulators and boundary digits; fold + weighted-reduce run
         # ONCE over all windows through the shared fold kernel
@@ -889,6 +911,7 @@ def msm(
                 num_buckets,
                 steps,
                 parts=True,
+                presorted=(order_all[i], d_sorted_all[i]),
             )
             return (
                 put(bx, ba.x, i), put(by, ba.y, i), put(bz, ba.z, i),

@@ -138,10 +138,29 @@ def prove_batch_sharded(
             )
             return AOT.call_cached(tag, make, mesh, sc_b, pts.x, pts.y, pts.z)
 
-        a_b = run(prover.g1, sc_a, prover.a_pts, prover.n_ab)
-        b1_b = run(prover.g1, sc_b1, prover.b1_pts, prover.n_ab)
+        # shape-normalize the lh MSM to the a/b1 lane count so all three
+        # G1 MSMs share ONE compiled program (each XLA:CPU compile of the
+        # interpret-mode MSM body costs minutes on the virtual mesh; the
+        # padded lanes are zero scalars + infinity points)
+        n_g1 = max(prover.n_ab, prover.n_lh)
+
+        def pad_lanes(arr, n, fill=0):
+            if arr.shape[-1] == n:
+                return arr
+            pad = [(0, 0)] * (arr.ndim - 1) + [(0, n - arr.shape[-1])]
+            return jnp.pad(arr, pad, constant_values=fill)
+
+        def pad_pts(pts, n):
+            if pts.x.shape[-1] == n:
+                return pts
+            return JacobianPoint(
+                pad_lanes(pts.x, n), pad_lanes(pts.y, n), pad_lanes(pts.z, n)
+            )
+
+        a_b = run(prover.g1, pad_lanes(sc_a, n_g1), pad_pts(prover.a_pts, n_g1), n_g1)
+        b1_b = run(prover.g1, pad_lanes(sc_b1, n_g1), pad_pts(prover.b1_pts, n_g1), n_g1)
         b2_b = run(prover.g2, sc_b2, prover.b2_pts, prover.n_ab)
-        lh_b = run(prover.g1, sc_lh, prover.lh_pts, prover.n_lh)
+        lh_b = run(prover.g1, pad_lanes(sc_lh, n_g1), pad_pts(prover.lh_pts, n_g1), n_g1)
         for i, assignment in enumerate(batch):
             accs = tuple(
                 JacobianPoint(t[0][i], t[1][i], t[2][i])

@@ -91,6 +91,22 @@ def _key(tag: str, mesh, args) -> str:
 _MEM: dict = {}
 
 
+@functools.lru_cache(maxsize=1)
+def _register_pytrees() -> None:
+    """jax.export can only serialize registered pytree node types; the
+    point containers appear in exported out_trees."""
+    from jax import export as jexport
+
+    from manta_tpu.ops.curve import JacobianPoint
+
+    try:
+        jexport.register_namedtuple_serialization(
+            JacobianPoint, serialized_name="manta_tpu.JacobianPoint"
+        )
+    except ValueError:
+        pass  # already registered
+
+
 def call_cached(tag: str, make_jit_fn: Callable, mesh, *args):
     """Call `make_jit_fn()(*args)`, replaying a serialized export when one
     exists for (tag, arg shapes, source revision). `mesh` provides the
@@ -100,6 +116,8 @@ def call_cached(tag: str, make_jit_fn: Callable, mesh, *args):
     if not enabled():
         return make_jit_fn()(*args)
     from jax import export as jexport
+
+    _register_pytrees()
 
     key = _key(tag, mesh, args)
     exp = _MEM.get(key)
