@@ -61,7 +61,6 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     import numpy as np
 
     from manta_tpu.ops import curve as C
-    from manta_tpu.ops import field_ops as F
     from manta_tpu.ops import msm as M
     from manta_tpu.ops.curve import JacobianPoint
     from manta_tpu.utils import hostmath
