@@ -138,6 +138,23 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     jax.block_until_ready(result)
     log(f"[bench] compile+first run: {time.time() - t0:.1f}s")
 
+    # correctness gate: points are (i+1)*G, so the true result is
+    # (sum (i+1)*s_i mod r) * G — one host scalar-mul
+    sc_np = np.asarray(scalars)
+    r_mod = curve.scalar_field.modulus
+    weights = np.arange(1, n + 1, dtype=object)
+    acc = np.zeros(n, dtype=object)
+    for i in range(sc_np.shape[0]):
+        acc += sc_np[i].astype(object) << (16 * i)
+    total = int(np.sum(acc * weights) % r_mod)
+    expected = curve.scalar_mul(total, curve.generator)
+    got = cops.decode_points(
+        type(pts)(result.x, result.y, result.z)
+    )[0]
+    if got != expected:
+        raise AssertionError("MSM result mismatch vs host ground truth")
+    log("[bench] result verified against host ground truth")
+
     times = []
     for r in range(reps):
         t0 = time.time()

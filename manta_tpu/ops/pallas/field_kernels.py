@@ -54,6 +54,36 @@ def _school_redc(spec: FieldSpec, a, b):
             pr = ai * b_rows[j]
             cols[i + j] = cols[i + j] + (pr & MASK)
             cols[i + j + 1] = cols[i + j + 1] + (pr >> LIMB_BITS)
+    return _redc_cols(spec, cols)
+
+
+def _school_sqr_redc(spec: FieldSpec, a):
+    """Squaring: symmetric schoolbook (each cross product a_i*a_j computed
+    once, its split halves added twice — doubling the raw 32-bit product
+    would overflow) + the same REDC. ~30% fewer ops than mul(a, a);
+    squarings are 4 of the 11 mul-equivalents of the MSM's mixed add."""
+    L = spec.num_limbs
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * L + 1)
+    rows = [a[i] for i in range(L)]
+    for i in range(L):
+        pr = rows[i] * rows[i]
+        cols[2 * i] = cols[2 * i] + (pr & MASK)
+        cols[2 * i + 1] = cols[2 * i + 1] + (pr >> LIMB_BITS)
+        for j in range(i + 1, L):
+            pr = rows[i] * rows[j]
+            lo2 = (pr & MASK) + (pr & MASK)
+            hi2 = (pr >> LIMB_BITS) + (pr >> LIMB_BITS)
+            cols[i + j] = cols[i + j] + lo2
+            cols[i + j + 1] = cols[i + j + 1] + hi2
+    return _redc_cols(spec, cols)
+
+
+def _redc_cols(spec: FieldSpec, cols):
+    """Montgomery REDC over accumulated lazy columns (shared by the
+    mul/sqr product phases). Column depth stays well under 2^32."""
+    L = spec.num_limbs
+    zero = jnp.zeros_like(cols[0])
     n0_inv = spec.n0_inv  # python int immediate
     p_limbs = _limbs_of(spec.modulus, L)
     for i in range(L):

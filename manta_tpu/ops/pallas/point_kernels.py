@@ -41,7 +41,7 @@ from manta_tpu import fields
 from manta_tpu.fields import LIMB_BITS, LIMB_MASK, FieldSpec
 from manta_tpu.ops import curve as C
 from manta_tpu.ops.curve import JacobianPoint
-from manta_tpu.ops.pallas.field_kernels import _school_redc
+from manta_tpu.ops.pallas.field_kernels import _school_redc, _school_sqr_redc
 from manta_tpu.utils import hostmath
 
 MASK = LIMB_MASK
@@ -94,7 +94,7 @@ class _KernelCoordOps:
         return _school_redc(self.spec, a, b)
 
     def sqr(self, a):
-        return _school_redc(self.spec, a, a)
+        return _school_sqr_redc(self.spec, a)
 
     def add(self, a, b):
         L = self.spec.num_limbs
@@ -246,6 +246,29 @@ class _KernelCoordOps12:
             ai = a_rows[i]
             for j in range(L):
                 cols[i + j] = cols[i + j] + ai * b_rows[j]
+        return self._redc(cols)
+
+    def sqr(self, a):
+        """Symmetric schoolbook: cross products computed once (496 muls vs
+        1024), columns doubled afterwards, diagonal added on top. Raw
+        12-bit products are < 2^24 and cross columns < 2^29 before the
+        diagonal/REDC contributions, so everything stays in uint32."""
+        L = self.L
+        zero = jnp.zeros_like(a[0])
+        cross = [zero] * (2 * L + 1)
+        rows = [a[i] for i in range(L)]
+        for i in range(L):
+            ai = rows[i]
+            for j in range(i + 1, L):
+                cross[i + j] = cross[i + j] + ai * rows[j]
+        cols = [c + c for c in cross]
+        for i in range(L):
+            cols[2 * i] = cols[2 * i] + rows[i] * rows[i]
+        return self._redc(cols)
+
+    def _redc(self, cols):
+        L = self.L
+        zero = jnp.zeros_like(cols[0])
         n0 = self.n0_inv
         for i in range(L):
             m = ((cols[i] & jnp.uint32(self.MASK12)) * n0) & jnp.uint32(
@@ -261,9 +284,6 @@ class _KernelCoordOps12:
             outs.append(t & jnp.uint32(self.MASK12))
             carry = t >> jnp.uint32(12)
         return jnp.stack(outs)
-
-    def sqr(self, a):
-        return self.mul(a, a)
 
     def add(self, a, b):
         L = self.L

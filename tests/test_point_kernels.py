@@ -162,3 +162,66 @@ class TestFusedMsm:
         got = g1.decode_points(out)[0]
         want = curve.msm(scalars, points)
         assert got == want
+
+
+class TestKernelFieldOps:
+    """Direct (outside-pallas) checks of the in-kernel limb arithmetic —
+    the classes run on plain jnp arrays, so no kernel compiles needed."""
+
+    @pytest.mark.parametrize("curve_name", ["bls", "bn"])
+    def test_mul_sqr_vs_host(self, curve_name):
+        import random as _r
+
+        from manta_tpu.ops import field_ops as F
+        from manta_tpu.ops.pallas import point_kernels as PKm
+
+        spec = (
+            hostmath.BLS12_381_G1.field
+            if curve_name == "bls"
+            else hostmath.BN254_G1.field
+        )
+        rng = _r.Random(5)
+        vals_a = [rng.randrange(spec.modulus) for _ in range(256)]
+        vals_b = [rng.randrange(spec.modulus) for _ in range(256)]
+        a16 = jnp.asarray(F.encode_ints(spec, vals_a))
+        b16 = jnp.asarray(F.encode_ints(spec, vals_b))
+
+        def decode(arr16):
+            return F.decode_ints(spec, arr16)
+
+        # 16-bit kernel ops
+        k16 = PKm._KernelCoordOps(spec)
+        got_mul = decode(k16.mul(a16, b16))
+        got_sqr = decode(k16.sqr(a16))
+        for ga, gs, va, vb in zip(got_mul, got_sqr, vals_a, vals_b):
+            assert ga == va * vb % spec.modulus
+            assert gs == va * va % spec.modulus
+
+        # 12-bit kernel ops (BLS only)
+        if PKm._w12_limbs(spec):
+            k12 = PKm._KernelCoordOps12(spec)
+            a12, b12 = k12.unpack(a16), k12.unpack(b16)
+            got_mul = decode(k12.pack(k12.mul(a12, b12)))
+            got_sqr = decode(k12.pack(k12.sqr(a12)))
+            for ga, gs, va, vb in zip(got_mul, got_sqr, vals_a, vals_b):
+                assert ga == va * vb % spec.modulus
+                assert gs == va * va % spec.modulus
+            # lazy-domain inputs (values in [p, 2p)) must also square
+            # right: build them by adding p's raw limbs to Montgomery rows
+            import numpy as np
+
+            raw_p = [
+                (spec.modulus >> (16 * i)) & 0xFFFF
+                for i in range(spec.num_limbs)
+            ]
+            a_hi = np.asarray(a16[:, :32]).astype(np.int64)
+            carry = 0
+            rows = []
+            for i in range(spec.num_limbs):
+                t = a_hi[i] + raw_p[i] + carry
+                rows.append(t & 0xFFFF)
+                carry = t >> 16
+            hi16 = jnp.asarray(np.stack(rows).astype(np.uint32))
+            got = decode(k12.pack(k12.sqr(k12.unpack(hi16))))
+            for g, va in zip(got, vals_a[:32]):
+                assert g == va * va % spec.modulus
