@@ -34,7 +34,9 @@ from typing import Optional, Tuple
 from manta_tpu import fields
 from manta_tpu.utils import codec, grain, hostmath
 
-REF_PARAMS_DIR = "/root/reference/manta-parameters/data/pay/parameters"
+REF_PARAMS_DIR = os.environ.get(
+    "MANTA_PARAMS_DIR", "/root/reference/manta-parameters/data/pay/parameters"
+)
 
 FR = fields.BN254_FR
 EMBEDDED = hostmath.ED_ON_BN254
