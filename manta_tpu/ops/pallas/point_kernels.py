@@ -237,48 +237,45 @@ class _KernelCoordOps12:
     # -- ring ops --
 
     def mul(self, a, b):
+        """Sublane-BLOCKED schoolbook: the row-sliced form ((1, lanes)
+        extents per product) leaves 7/8 of the VPU sublanes idle; here
+        each limb j of b contributes one full-(L, lanes)-tile multiply
+        `a * b[j]` added at static offset j via jnp.pad (Pallas has no
+        scatter-add). Measured 1.42x the row-sliced form on-chip
+        (tools/tune_mul.py: 67.5 vs 47.4 Mmul/s)."""
         L = self.L
-        zero = jnp.zeros_like(a[0])
-        cols = [zero] * (2 * L + 1)
-        a_rows = [a[i] for i in range(L)]
-        b_rows = [b[j] for j in range(L)]
-        for i in range(L):
-            ai = a_rows[i]
-            for j in range(L):
-                cols[i + j] = cols[i + j] + ai * b_rows[j]
+        W = 2 * L + 1
+        cols = jnp.zeros((W, a.shape[-1]), jnp.uint32)
+        for j in range(L):
+            prod = a * b[j][None, :]  # (L, lanes) full-tile multiply
+            cols = cols + jnp.pad(prod, ((j, W - L - j), (0, 0)))
         return self._redc(cols)
 
     def sqr(self, a):
-        """Symmetric schoolbook: cross products computed once (496 muls vs
-        1024), columns doubled afterwards, diagonal added on top. Raw
-        12-bit products are < 2^24 and cross columns < 2^29 before the
-        diagonal/REDC contributions, so everything stays in uint32."""
-        L = self.L
-        zero = jnp.zeros_like(a[0])
-        cross = [zero] * (2 * L + 1)
-        rows = [a[i] for i in range(L)]
-        for i in range(L):
-            ai = rows[i]
-            for j in range(i + 1, L):
-                cross[i + j] = cross[i + j] + ai * rows[j]
-        cols = [c + c for c in cross]
-        for i in range(L):
-            cols[2 * i] = cols[2 * i] + rows[i] * rows[i]
-        return self._redc(cols)
+        return self.mul(a, a)
 
     def _redc(self, cols):
+        """Blocked Montgomery REDC: per limb i, one full-tile m*p
+        accumulation at offset i (p rows are scalar immediates)."""
         L = self.L
-        zero = jnp.zeros_like(cols[0])
+        W = cols.shape[0]
         n0 = self.n0_inv
+        lanes = cols.shape[-1]
+        p_tile = jnp.stack(
+            [jnp.full((lanes,), v, jnp.uint32) for v in self._p]
+        )  # (L, lanes)
         for i in range(L):
             m = ((cols[i] & jnp.uint32(self.MASK12)) * n0) & jnp.uint32(
                 self.MASK12
             )
-            for j in range(L):
-                cols[i + j] = cols[i + j] + m * self._p[j]
-            cols[i + 1] = cols[i + 1] + (cols[i] >> jnp.uint32(12))
+            mp = m[None, :] * p_tile
+            carry_row = (cols[i] + mp[0]) >> jnp.uint32(12)
+            bump = jnp.pad(mp, ((i, W - L - i), (0, 0))) + jnp.pad(
+                carry_row[None, :], ((i + 1, W - i - 2), (0, 0))
+            )
+            cols = cols + bump
         outs = []
-        carry = zero
+        carry = jnp.zeros_like(cols[0])
         for k in range(L):
             t = cols[L + k] + carry
             outs.append(t & jnp.uint32(self.MASK12))
