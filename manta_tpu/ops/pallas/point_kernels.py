@@ -137,12 +137,13 @@ class _KernelCoordOps:
     # -- predicates / selection --
 
     def is_zero(self, a):
-        L = self.spec.num_limbs
-        z = a[0] == 0
-        e = a[0] == self._p_limbs[0]
-        for i in range(1, L):
-            z = jnp.logical_and(z, a[i] == 0)
-            e = jnp.logical_and(e, a[i] == self._p_limbs[i])
+        # tile compares + one cross-sublane reduction (the row-op chain
+        # serializes 2L single-sublane ops)
+        p_tile = jnp.stack(
+            [jnp.full_like(a[0], v) for v in self._p_limbs]
+        )
+        z = jnp.all(a == 0, axis=0)
+        e = jnp.all(a == p_tile, axis=0)
         return jnp.logical_or(z, e)
 
     def eq(self, a, b):
@@ -325,11 +326,9 @@ class _KernelCoordOps12:
     # -- predicates / selection --
 
     def is_zero(self, a):
-        z = a[0] == 0
-        e = a[0] == self._p[0]
-        for i in range(1, self.L):
-            z = jnp.logical_and(z, a[i] == 0)
-            e = jnp.logical_and(e, a[i] == self._p[i])
+        p_tile = jnp.stack([jnp.full_like(a[0], v) for v in self._p])
+        z = jnp.all(a == 0, axis=0)
+        e = jnp.all(a == p_tile, axis=0)
         return jnp.logical_or(z, e)
 
     def eq(self, a, b):
