@@ -52,7 +52,7 @@ import os
 LANE_BLOCK = 512  # lanes per grid step for single-op kernels
 # column-kernel block shape (R-lanes / K-steps per grid step); env-tunable
 # for on-chip block-size sweeps (tools/tune_column.py)
-COLUMN_LANE_BLOCK = int(os.environ.get("MANTA_COLUMN_RB", "128"))
+COLUMN_LANE_BLOCK = int(os.environ.get("MANTA_COLUMN_RB", "256"))
 COLUMN_STEP_BLOCK = int(os.environ.get("MANTA_COLUMN_KB", "8"))
 
 
@@ -284,6 +284,11 @@ class _KernelCoordOps12:
         return jnp.stack(outs)
 
     def add(self, a, b):
+        """L-step ripple add + conditional 2p subtract. A Kogge-Stone
+        tile-form variant (log2(L) full-tile rounds, see git history)
+        measured 17% SLOWER in the column kernel: Mosaic pipelines the
+        serial row chains across the madd's independent field ops, and
+        the lookahead's extra tile work loses to that ILP."""
         L = self.L
         outs, carry = [], jnp.zeros_like(a[0])
         for i in range(L):

@@ -225,3 +225,63 @@ class TestKernelFieldOps:
             got = decode(k12.pack(k12.sqr(k12.unpack(hi16))))
             for g, va in zip(got, vals_a[:32]):
                 assert g == va * va % spec.modulus
+
+    def test_ks_add_sub_vs_host(self):
+        """12-bit Kogge-Stone add/sub (lazy [0,2p) domain) vs host ints,
+        with adversarial carry/borrow patterns."""
+        import random as _r
+
+        from manta_tpu.ops import field_ops as F
+        from manta_tpu.ops.pallas import point_kernels as PKm
+
+        spec = hostmath.BLS12_381_G1.field
+        k12 = PKm._KernelCoordOps12(spec)
+        p = spec.modulus
+        rng = _r.Random(11)
+        dense = int("f" * 95, 16)  # 380 bits of 0xF nibbles
+        cases = []
+        for _ in range(120):
+            cases.append((rng.randrange(2 * p), rng.randrange(2 * p)))
+        # carry-chain stress: values whose limbs are mostly 0xFFF, near-p,
+        # near-2p, zero, and pairs that sum just below/above 2p
+        for v in (0, 1, p - 1, p, p + 1, 2 * p - 1, dense % (2 * p)):
+            for w in (0, 1, p - 1, p, 2 * p - 1, (2 * p - 1 - v) % (2 * p)):
+                cases.append((v, w))
+        vals_a = [a for a, _ in cases]
+        vals_b = [b for _, b in cases]
+        pad = (-len(cases)) % 64
+        vals_a += [0] * pad
+        vals_b += [0] * pad
+
+        # encode RAW limbs directly (encode_ints reduces mod p; lazy-domain
+        # values in [p, 2p) must keep their exact representation)
+        import numpy as np
+
+        def raw16(vals):
+            arr = np.zeros((spec.num_limbs, len(vals)), np.uint32)
+            for c, v in enumerate(vals):
+                for i in range(spec.num_limbs):
+                    arr[i, c] = (v >> (16 * i)) & 0xFFFF
+            return jnp.asarray(arr)
+
+        a16 = raw16(vals_a)
+        b16 = raw16(vals_b)
+        def raw_decode(arr16):
+            a = np.asarray(arr16, dtype=object)
+            return [
+                int(sum(int(a[i, c]) << (16 * i) for i in range(spec.num_limbs)))
+                for c in range(a.shape[1])
+            ]
+
+        a12, b12 = k12.unpack(a16), k12.unpack(b16)
+        got_add = raw_decode(k12.pack(k12.add(a12, b12)))
+        got_sub = raw_decode(k12.pack(k12.sub(a12, b12)))
+        for (va, vb), ga, gs in zip(cases, got_add, got_sub):
+            s = va + vb
+            if s >= 2 * p:
+                s -= 2 * p
+            assert ga == s, f"add({va},{vb})"
+            d = va - vb
+            if d < 0:
+                d += 2 * p
+            assert gs == d, f"sub({va},{vb})"
