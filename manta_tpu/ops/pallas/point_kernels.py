@@ -173,17 +173,16 @@ def _w12_limbs(spec: FieldSpec):
 class _KernelCoordOps12:
     """12-bit-limb field ops inside a kernel: lazy-column school + REDC.
 
-    The 16-bit path spends ~2/3 of its VPU ops on per-product column
-    maintenance — each 16x16-bit product must be split (& mask, >> 16) and
-    added into two columns immediately, because 24 raw 32-bit products per
-    column would overflow uint32. With W = 12 and LW = 384/12 = 32 limbs,
-    raw products are < 2^24 and accumulate 64-deep (< 2^30) with NO
-    per-product normalization: one multiply + one add per (i, j). REDC
-    runs the same lazy columns. 12·32 = 384 keeps the Montgomery radix
-    identical to the external 2^384 domain, so values convert by pure bit
-    repacking at the kernel boundary (`unpack`/`pack`). ~4.4k ops per
-    multiply vs ~6k for the 16-bit path (measured 138 Mmul-equiv/s there
-    at ~80% VPU utilization — op count is the ceiling).
+    With W = 12 and LW = 384/12 = 32 limbs, raw products are < 2^24 and
+    accumulate 64-deep (< 2^30) with NO per-product splitting (the 16-bit
+    path must split every 32-bit product immediately). 12·32 = 384 keeps
+    the Montgomery radix identical to the external 2^384 domain, so
+    values convert by pure bit repacking at the kernel boundary
+    (`unpack`/`pack`). The product and REDC phases are sublane-BLOCKED
+    (full-tile multiplies per limb of b, static-pad shifts — see
+    `mul`); the add/sub carry ripples stay serial-by-row, which measured
+    FASTER than carry-lookahead tile forms (Mosaic hides the chains in
+    the point formulas' ILP).
 
     Same lazy [0, 2p) value domain and CoordOps surface as
     `_KernelCoordOps`; the point formulas are reused unchanged.
