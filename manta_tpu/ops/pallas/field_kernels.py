@@ -41,42 +41,45 @@ def _limbs_of(value: int, count: int):
 def _school_redc(spec: FieldSpec, a, b):
     """Schoolbook product + REDC on (L, BLOCK) register arrays.
 
-    Sublane-BLOCKED formulation: the row-sliced schoolbook issues
-    (1, lanes)-extent ops for every limb product, leaving most VPU
-    sublanes idle; instead each limb j of b contributes one full
-    (L, lanes)-tile multiply `a * b[j]` whose split halves are added at
-    static offsets j / j+1 via jnp.pad (Pallas TPU has no scatter-add).
-    Measured 1.42x the row-sliced form on-chip (tools/tune_mul.py).
-    Column depth stays < 2^23 for L <= 24, so everything fits uint32."""
+    Row-sliced form: columns live in a Python list of per-limb vectors
+    (Pallas TPU has no scatter; the unrolled list form lowers to pure VPU
+    adds/muls). A sublane-BLOCKED variant (full-tile multiplies + static
+    jnp.pad shifts, as used by the 12-bit BLS path in
+    `point_kernels._KernelCoordOps12.mul`) measured FASTER for L = 32
+    12-bit limbs but ~20% SLOWER end-to-end for the L = 16 BN254 prover
+    kernels — at small L the pad/add overhead of (2L+1)-row tiles
+    outweighs the sublane-occupancy win, so the 16-bit path keeps rows.
+    """
     L = spec.num_limbs
-    W = 2 * L + 1
-    lanes = a.shape[-1]
-    cols = jnp.zeros((W, lanes), jnp.uint32)
-    for j in range(L):
-        pr = a * b[j][None, :]  # (L, lanes) full-tile 16x16 products
-        lo = pr & MASK
-        hi = pr >> LIMB_BITS
-        cols = cols + jnp.pad(lo, ((j, W - L - j), (0, 0)))
-        cols = cols + jnp.pad(hi, ((j + 1, W - L - j - 1), (0, 0)))
-    # blocked Montgomery REDC
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * L + 1)
+    a_rows = [a[i] for i in range(L)]
+    b_rows = [b[j] for j in range(L)]
+    for i in range(L):
+        ai = a_rows[i]
+        for j in range(L):
+            pr = ai * b_rows[j]
+            cols[i + j] = cols[i + j] + (pr & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (pr >> LIMB_BITS)
     n0_inv = spec.n0_inv  # python int immediate
     p_limbs = _limbs_of(spec.modulus, L)
-    p_tile = jnp.stack([jnp.full((lanes,), v, jnp.uint32) for v in p_limbs])
     for i in range(L):
-        m = ((cols[i] & MASK) * n0_inv) & MASK
-        mp = m[None, :] * p_tile  # (L, lanes); (2^16-1)^2 < 2^32
-        mp_lo = mp & MASK
-        mp_hi = mp >> LIMB_BITS
-        # (cols[i] + mp_lo[0]) >> 16 == old_carry + c2 exactly
-        carry_row = (cols[i] + mp_lo[0]) >> LIMB_BITS
-        bump = (
-            jnp.pad(mp_lo, ((i, W - L - i), (0, 0)))
-            + jnp.pad(mp_hi, ((i + 1, W - L - i - 1), (0, 0)))
-            + jnp.pad(carry_row[None, :], ((i + 1, W - i - 2), (0, 0)))
-        )
-        cols = cols + bump
+        carry = cols[i] >> LIMB_BITS
+        t = cols[i] & MASK
+        m = (t * n0_inv) & MASK
+        c2 = None
+        for j in range(L):
+            pr = m * p_limbs[j]
+            lo = pr & MASK
+            hi = pr >> LIMB_BITS
+            if j == 0:
+                c2 = (t + lo) >> LIMB_BITS
+            else:
+                cols[i + j] = cols[i + j] + lo
+            cols[i + j + 1] = cols[i + j + 1] + hi
+        cols[i + 1] = cols[i + 1] + carry + c2
     outs = []
-    carry = jnp.zeros_like(cols[0])
+    carry = zero
     for i in range(L):
         t2 = cols[L + i] + carry
         outs.append(t2 & MASK)
@@ -85,8 +88,9 @@ def _school_redc(spec: FieldSpec, a, b):
 
 
 def _school_sqr_redc(spec: FieldSpec, a):
-    """Squaring entry point (the blocked schoolbook already issues one
-    full-tile multiply per limb row of b; no separate symmetric form)."""
+    """Squaring entry point (Mosaic CSE already dedupes the commutative
+    duplicate products of mul(a, a) — measured ~0% for an explicit
+    symmetric form)."""
     return _school_redc(spec, a, a)
 
 
