@@ -139,14 +139,17 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     log(f"[bench] compile+first run: {time.time() - t0:.1f}s")
 
     # correctness gate: points are (i+1)*G, so the true result is
-    # (sum (i+1)*s_i mod r) * G — one host scalar-mul
+    # (sum (i+1)*s_i mod r) * G — one host scalar-mul. Per-limb dot
+    # products fit uint64 (limb < 2^16, weight <= 2^20, n = 2^20 sum
+    # < 2^56), so the whole check is L vectorized dots, not object math.
     sc_np = np.asarray(scalars)
     r_mod = curve.scalar_field.modulus
-    weights = np.arange(1, n + 1, dtype=object)
-    acc = np.zeros(n, dtype=object)
+    weights = np.arange(1, n + 1, dtype=np.uint64)
+    total = 0
     for i in range(sc_np.shape[0]):
-        acc += sc_np[i].astype(object) << (16 * i)
-    total = int(np.sum(acc * weights) % r_mod)
+        dot = int(np.dot(sc_np[i].astype(np.uint64), weights))
+        total += dot << (16 * i)
+    total %= r_mod
     expected = curve.scalar_mul(total, curve.generator)
     got = cops.decode_points(
         type(pts)(result.x, result.y, result.z)
