@@ -93,6 +93,7 @@ class DeviceProver:
         backend: str = "fused",
         window_bits: int = 13,
         column_steps: int = 128,
+        lane_floor: int = 256,
     ):
         import jax
 
@@ -126,7 +127,7 @@ class DeviceProver:
         self.devices = None  # multi-device replication, see replicate_to
 
         # --- device-resident query points + zero-scalar masks ---
-        self.n_ab = _pow2_at_least(self.nv)
+        self.n_ab = _pow2_at_least(self.nv, lane_floor)
         self.a_pts, self.a_mask = self._encode_query(self.g1, pk.a_query, self.n_ab)
         self.b1_pts, self.b1_mask = self._encode_query(
             self.g1, pk.b_g1_query, self.n_ab
@@ -136,7 +137,7 @@ class DeviceProver:
         )
         # merged C-side MSM: l_query scalars are z[ni:], h_query scalars are
         # the computed h coefficients — one MSM over the concatenation
-        self.n_lh = _pow2_at_least(len(pk.l_query) + len(pk.h_query))
+        self.n_lh = _pow2_at_least(len(pk.l_query) + len(pk.h_query), lane_floor)
         self.lh_pts, self.lh_mask = self._encode_query(
             self.g1, list(pk.l_query) + list(pk.h_query), self.n_lh
         )

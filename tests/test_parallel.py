@@ -124,19 +124,20 @@ def test_sharded_prove_verifies():
     Mirrors dryrun_multichip's shapes exactly (shared compile cache)."""
     import random
 
-    from __graft_entry__ import _poseidon_preimage_circuit, _small_prover
+    from __graft_entry__ import _dryrun_circuit, _dryrun_prover
     from manta_tpu import fields
     from manta_tpu.models import groth16 as G
     from manta_tpu.parallel.prover_sharded import prove_batch_sharded
 
     mesh = MESH.data_mesh()
-    prover, matrices, vk = _small_prover()
+    prover, matrices, vk = _dryrun_prover()
     rng = random.Random(23)
     fr = fields.BN254_FR
     cases = []
     for _ in range(mesh.devices.size):
-        vals = [rng.randrange(fr.modulus) for _ in range(2)]
-        _, assignment, digest, _ = _poseidon_preimage_circuit("prove", vals)
+        _, assignment, digest, _ = _dryrun_circuit(
+            "prove", rng.randrange(fr.modulus)
+        )
         cases.append((assignment, digest))
     proofs = prove_batch_sharded(
         prover,
