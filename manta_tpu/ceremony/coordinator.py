@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import pickle
 import threading
 import time
 from typing import Dict, List, Optional
@@ -155,13 +154,19 @@ class Coordinator:
         self._save_round()
 
     def _save_round(self):
+        # canonical round files (the multi-circuit container with one
+        # circuit) — never pickle: the verifier CLI re-reads these
+        from manta_tpu.ceremony import server as _wire
+
         if self.recovery_dir:
             os.makedirs(self.recovery_dir, exist_ok=True)
             with open(
                 os.path.join(self.recovery_dir, f"round_{self.round:04d}.state"),
                 "wb",
             ) as f:
-                pickle.dump((self.state, self.transcript), f)
+                f.write(_wire.rounds_to_bytes(
+                    {"_": self.state}, [{"_": p} for p in self.transcript]
+                ))
 
     @classmethod
     def recover(cls, recovery_dir: str, registry: Registry) -> "Coordinator":
@@ -170,8 +175,12 @@ class Coordinator:
             f for f in os.listdir(recovery_dir) if f.endswith(".state")
         )
         assert rounds, "no recovery states found"
+        from manta_tpu.ceremony import server as _wire
+
         with open(os.path.join(recovery_dir, rounds[-1]), "rb") as f:
-            state, transcript = pickle.load(f)
+            states, wrapped = _wire.rounds_from_bytes(f.read())
+        state = states["_"]
+        transcript = [p["_"] for p in wrapped]
         coordinator = cls(state, registry, recovery_dir)
         coordinator.round = int(rounds[-1].split("_")[1].split(".")[0])
         coordinator.transcript = transcript
@@ -220,10 +229,12 @@ class Coordinator:
         rounds = sorted(
             f for f in os.listdir(self.recovery_dir) if f.endswith(".state")
         )
+        from manta_tpu.ceremony import server as _wire
+
         prev = initial
         for fname, proof in zip(rounds[1:], self.transcript):
             with open(os.path.join(self.recovery_dir, fname), "rb") as f:
-                nxt, _ = pickle.load(f)
+                nxt = _wire.rounds_from_bytes(f.read())[0]["_"]
             if not P2.verify_transform(prev, nxt, proof):
                 return False
             prev = nxt

@@ -21,7 +21,6 @@ from __future__ import annotations
 import base64
 import json
 import os
-import pickle
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -160,6 +159,88 @@ def proof_from_bytes(cfg: PR.PairingConfig, data: bytes) -> RT.RatioProof:
 
 
 # ---------------------------------------------------------------------------
+# Round files (canonical, replaces pickle — the verifier CLI re-reads
+# CONTRIBUTOR-produced files, and unpickling untrusted bytes is arbitrary
+# code execution; the reference persists every round in arkworks canonical
+# form, `manta-crypto/src/arkworks/groth16.rs:216-500`)
+# ---------------------------------------------------------------------------
+
+_ROUNDS_MAGIC = b"MTC2"
+_ROUND_CURVES = {"bn254": 0, "bls12_381": 1}
+_ROUND_CONFIGS = {0: PR.BN254_PAIRING, 1: PR.BLS12_381_PAIRING}
+
+
+def rounds_to_bytes(
+    states: Dict[str, P2.Phase2State],
+    transcript: List[Dict[str, RT.RatioProof]],
+) -> bytes:
+    """Serialize a ceremony round file: the current multi-circuit states
+    plus the proof transcript accumulated so far."""
+    names = list(states)
+    cfg = states[names[0]].cfg
+    parts = [
+        _ROUNDS_MAGIC,
+        struct.pack("<BB", 1, _ROUND_CURVES[cfg.name]),
+        struct.pack("<Q", len(names)),
+    ]
+    for name in names:
+        raw = name.encode()
+        parts.append(struct.pack("<H", len(raw)))
+        parts.append(raw)
+    for name in names:
+        blob = state_to_bytes(states[name])
+        parts.append(struct.pack("<Q", len(blob)))
+        parts.append(blob)
+    parts.append(struct.pack("<Q", len(transcript)))
+    for round_proofs in transcript:
+        for name in names:
+            blob = proof_to_bytes(cfg, round_proofs[name])
+            parts.append(struct.pack("<Q", len(blob)))
+            parts.append(blob)
+    return b"".join(parts)
+
+
+def rounds_from_bytes(data: bytes):
+    """Inverse of `rounds_to_bytes` -> (states, transcript)."""
+    if data[:4] != _ROUNDS_MAGIC:
+        raise ValueError("not a ceremony round file")
+    version, curve_id = struct.unpack("<BB", data[4:6])
+    if version != 1:
+        raise ValueError(f"unsupported round-file version {version}")
+    cfg = _ROUND_CONFIGS[curve_id]
+    pos = 6
+
+    def take(n):
+        nonlocal pos
+        out = data[pos : pos + n]
+        if len(out) != n:
+            raise ValueError("truncated round file")
+        pos += n
+        return out
+
+    (n_names,) = struct.unpack("<Q", take(8))
+    names = []
+    for _ in range(n_names):
+        (ln,) = struct.unpack("<H", take(2))
+        names.append(take(ln).decode())
+    states = {}
+    for name in names:
+        (ln,) = struct.unpack("<Q", take(8))
+        states[name] = state_from_bytes(cfg, take(ln))
+    (n_rounds,) = struct.unpack("<Q", take(8))
+    transcript = []
+    for _ in range(n_rounds):
+        round_proofs = {}
+        for name in names:
+            (ln,) = struct.unpack("<Q", take(8))
+            round_proofs[name] = proof_from_bytes(cfg, take(ln))
+        transcript.append(round_proofs)
+    if pos != len(data):
+        raise ValueError("trailing bytes in round file")
+    return states, transcript
+
+
+# ---------------------------------------------------------------------------
 # Parallel (multi-circuit) rounds — reference `mpc.rs:287`
 # ---------------------------------------------------------------------------
 
@@ -195,7 +276,7 @@ class ParallelCoordinator:
                 self.recovery_dir, f"round_{self.round:04d}.parallel"
             )
             with open(path, "wb") as f:
-                pickle.dump((self.states, self.transcript), f)
+                f.write(rounds_to_bytes(self.states, self.transcript))
 
     @classmethod
     def recover(
@@ -207,7 +288,7 @@ class ParallelCoordinator:
         )
         assert rounds, "no recovery states found"
         with open(os.path.join(recovery_dir, rounds[-1]), "rb") as f:
-            states, transcript = pickle.load(f)
+            states, transcript = rounds_from_bytes(f.read())
         coordinator = cls(states, registry, recovery_dir)
         coordinator.round = int(rounds[-1].split("_")[1].split(".")[0])
         coordinator.transcript = transcript
@@ -257,7 +338,7 @@ class ParallelCoordinator:
         prev = initial
         for fname, proofs in zip(rounds[1:], self.transcript):
             with open(os.path.join(self.recovery_dir, fname), "rb") as f:
-                nxt, _ = pickle.load(f)
+                nxt, _ = rounds_from_bytes(f.read())
             for name in self.names:
                 if not P2.verify_transform(prev[name], nxt[name], proofs[name]):
                     return False

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import random
 import sys
 
@@ -91,12 +90,16 @@ def cmd_generate_parameters(outdir: str, test_config: bool = False):
     open(
         os.path.join(outdir, "incoming-base-encryption-scheme.dat"), "wb"
     ).write(dup)
-    # Groth16 shape keys (pickled; arkworks-format export is the widening path)
+    # Groth16 shape keys in the canonical binary format (the reference
+    # writes proving/verifying contexts via CanonicalSerialize —
+    # `manta-crypto/src/arkworks/groth16.rs:216-500`)
+    from manta_tpu.utils import keyio
+
     print("generating Groth16 shape keys (setup)...", flush=True)
     for shape in ("to_private", "private_transfer", "to_public"):
         keys = TX.setup_shape(cfg, shape, seed=0)
         with open(os.path.join(outdir, f"{shape}.keys"), "wb") as f:
-            pickle.dump(keys, f)
+            f.write(keyio.shape_keys_to_bytes(keys))
         print(
             f"  {shape}: {keys.matrices.num_constraints} constraints, "
             f"domain {keys.pk.domain_size}",
@@ -175,8 +178,10 @@ def cmd_ceremony_prepare(
         matrices, _ = com.finalize()
         print(f"[prepare] {shape}: {matrices.num_constraints} constraints")
         states[shape] = P2.initialize(acc, matrices)
+    from manta_tpu.ceremony import server as CS
+
     with open(os.path.join(outdir, "initial.states"), "wb") as f:
-        pickle.dump(states, f)
+        f.write(CS.rounds_to_bytes(states, []))
     reg_path = os.path.join(outdir, "registry.csv")
     if not os.path.exists(reg_path):
         with open(reg_path, "w") as f:
@@ -197,7 +202,7 @@ def cmd_ceremony_server(dirpath: str, port: int):
         print(f"[server] recovered at round {coordinator.round}")
     else:
         with open(os.path.join(dirpath, "initial.states"), "rb") as f:
-            states = pickle.load(f)
+            states = CS.rounds_from_bytes(f.read())[0]
         coordinator = CS.ParallelCoordinator(
             states, registry, recovery_dir=recovery
         )
@@ -274,7 +279,7 @@ def cmd_ceremony_verify(dirpath: str) -> bool:
         os.path.join(dirpath, "rounds"), registry
     )
     with open(os.path.join(dirpath, "initial.states"), "rb") as f:
-        initial = pickle.load(f)
+        initial = CS.rounds_from_bytes(f.read())[0]
     ok = coordinator.verify_full_transcript(initial)
     print(f"[verify] {coordinator.round} rounds: {'OK' if ok else 'FAILED'}")
     return ok

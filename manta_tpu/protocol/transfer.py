@@ -95,7 +95,12 @@ def compile_shape(cfg: CFG.MantaPayConfig, shape: str):
 
 def setup_shape(cfg: CFG.MantaPayConfig, shape: str, seed: int = 0) -> ShapeKeys:
     matrices = compile_shape(cfg, shape)
-    pk, vk = G.setup(PR.BN254_PAIRING, matrices, seed=seed + hash(shape) % 1000)
+    # stable per-shape tweak: Python's str hash is salted per process,
+    # which silently made "deterministic" setup keys process-local
+    shape_tweak = int.from_bytes(
+        __import__("hashlib").sha256(shape.encode()).digest()[:2], "little"
+    )
+    pk, vk = G.setup(PR.BN254_PAIRING, matrices, seed=seed + shape_tweak)
     return ShapeKeys(matrices=matrices, pk=pk, vk=vk)
 
 

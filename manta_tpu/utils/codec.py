@@ -189,6 +189,41 @@ def deserialize_g2_compressed(data: bytes, curve: hostmath.WeierstrassCurve):
     return pt
 
 
+def serialize_g2_uncompressed(pt, curve: hostmath.WeierstrassCurve) -> bytes:
+    """ark-serialize uncompressed G2: x then y, each Fq2 as (c0, c1) LE,
+    infinity flag in the top byte (`ark-serialize` 0.3 flag layout, as the
+    reference's key files use — `manta-crypto/src/arkworks/serialize.rs`)."""
+    size = field_byte_size(curve.field)
+    if pt is None:
+        data = bytearray(4 * size)
+        data[-1] |= 1 << 6
+        return bytes(data)
+    (x0, x1), (y0, y1) = pt
+    return (
+        x0.to_bytes(size, "little")
+        + x1.to_bytes(size, "little")
+        + y0.to_bytes(size, "little")
+        + y1.to_bytes(size, "little")
+    )
+
+
+def deserialize_g2_uncompressed(data: bytes, curve: hostmath.WeierstrassCurve):
+    size = field_byte_size(curve.field)
+    data = bytearray(data)
+    flags = data[-1] & 0xC0
+    data[-1] &= 0x3F
+    if flags & (1 << 6):
+        return None
+    vals = [
+        int.from_bytes(bytes(data[i * size : (i + 1) * size]), "little")
+        for i in range(4)
+    ]
+    pt = ((vals[0], vals[1]), (vals[2], vals[3]))
+    if not curve.is_on_curve(pt):
+        raise ValueError("uncompressed G2 point not on curve")
+    return pt
+
+
 def fq2_sqrt(a, p):
     """Square root in Fq2 = Fq[u]/(u^2+1) via the norm trick."""
     if hostmath.fq2_is_zero(a):
