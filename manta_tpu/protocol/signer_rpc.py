@@ -27,6 +27,34 @@ from manta_tpu.protocol import wallet as W
 from manta_tpu.protocol.network import NonexistentWallet as NET_ERR
 
 
+def _encode_tx_data(rows) -> list:
+    """(IncomingPlaintext, Utxo) pairs -> wire JSON."""
+    return [
+        {
+            "randomness": RPC._hx(pt.utxo_commitment_randomness),
+            "asset_id": RPC._hx(pt.asset.id),
+            "value": RPC._hx(pt.asset.value),
+            "utxo": RPC.encode_utxo(utxo),
+        }
+        for pt, utxo in rows
+    ]
+
+
+def _decode_tx_data(rows) -> list:
+    from manta_tpu.protocol import utxo as U  # noqa: F401 — type source
+
+    out = []
+    for r in rows:
+        pt = N.IncomingPlaintext(
+            utxo_commitment_randomness=RPC._unhx(r["randomness"]),
+            asset=N.Asset(
+                id=RPC._unhx(r["asset_id"]), value=RPC._unhx(r["value"])
+            ),
+        )
+        out.append((pt, RPC.decode_utxo(r["utxo"])))
+    return out
+
+
 class _RemoteLedgerAdapter:
     """Gives Signer.sync the `pull` surface over a LedgerClient."""
 
@@ -110,7 +138,12 @@ class SignerServer:
 
     def handle(self, method: str, data: dict) -> dict:
         """Transport-agnostic request dispatch (shared by the HTTP daemon
-        and the WebSocket binding, `protocol/websocket.py`)."""
+        and the WebSocket binding, `protocol/websocket.py`).
+
+        Wire surface mirrors the reference signer `Connection`
+        (`manta-accounting/src/wallet/signer/mod.rs:119-158`): sync,
+        address, balance, sign, sign_with_transaction_data,
+        transaction_data, identity_proof, consolidate."""
         with self.lock:
             signer = self._resolve(data)
             if method == "sync":
@@ -121,15 +154,55 @@ class SignerServer:
             if method == "balance":
                 return {"balance": signer.balance(int(data["asset_id"]))}
             if method == "sign":
-                post = self._sign(signer, data)
+                posts = self._sign(signer, data)
+                return {"posts": [RPC.encode_post(p) for p in posts]}
+            if method == "sign_with_transaction_data":
+                # `SignWithTransactionData` (`signer/mod.rs:151-158`): the
+                # posts plus, per post, the note plaintexts the signer can
+                # already open (its own change/self outputs)
+                posts = self._sign(signer, data)
+                return {
+                    "posts": [RPC.encode_post(p) for p in posts],
+                    "transaction_data": [
+                        _encode_tx_data(W.transaction_data(signer, p))
+                        for p in posts
+                    ],
+                }
+            if method == "transaction_data":
+                # `TransactionData` (`signer/mod.rs:131-138`)
+                posts = [RPC.decode_post(p) for p in data["posts"]]
+                return {
+                    "transaction_data": [
+                        _encode_tx_data(W.transaction_data(signer, p))
+                        for p in posts
+                    ]
+                }
+            if method == "identity_proof":
+                # `IdentityProof` (`signer/mod.rs:139-143`,
+                # `signer/base.rs:227` identity_verification)
+                asset = N.Asset(
+                    id=int(data["asset_id"]), value=int(data["value"])
+                )
+                post = W.identity_proof(
+                    signer,
+                    asset,
+                    RPC._unhx(data["identifier_randomness"]),
+                    nonce=int(data.get("nonce", 13)),
+                )
                 return {"post": RPC.encode_post(post)}
+            if method == "consolidate":
+                # `Consolidate` (`signer/mod.rs:144-150`)
+                posts = signer.consolidate(int(data["asset_id"]))
+                return {"posts": [RPC.encode_post(p) for p in posts]}
             raise KeyError(method)
 
-    def _sign(self, signer: W.Signer, data: dict):
+    def _sign(self, signer: W.Signer, data: dict) -> list:
+        """Always returns the full post chain (spends may be preceded by
+        join-split ToPrivate posts, reference `functions.rs:748`)."""
         kind = data["kind"]
         asset = N.Asset(id=int(data["asset_id"]), value=int(data["value"]))
         if kind == "to_private":
-            return signer.sign_to_private(asset)
+            return [signer.sign_to_private(asset)]
         if kind == "private_transfer":
             address = RPC._unpoint(data["address"])
             return signer.sign_private_transfer(address, asset)
@@ -186,8 +259,46 @@ class SignerClient:
     def balance(self, asset_id: int) -> int:
         return self._call("/balance", {"asset_id": asset_id})["balance"]
 
-    def sign(self, kind: str, asset: N.Asset, address=None):
+    def _sign_payload(self, kind: str, asset: N.Asset, address=None) -> dict:
         payload = {"kind": kind, "asset_id": asset.id, "value": asset.value}
         if address is not None:
             payload["address"] = RPC._point(address)
-        return RPC.decode_post(self._call("/sign", payload)["post"])
+        return payload
+
+    def sign(self, kind: str, asset: N.Asset, address=None):
+        """Returns the full post chain (reference `SignResponse { posts }`,
+        `wallet/signer/mod.rs:726`)."""
+        reply = self._call("/sign", self._sign_payload(kind, asset, address))
+        return [RPC.decode_post(p) for p in reply["posts"]]
+
+    def sign_with_transaction_data(self, kind: str, asset: N.Asset, address=None):
+        """-> list of (post, [(IncomingPlaintext, Utxo), ...]) pairs."""
+        reply = self._call(
+            "/sign_with_transaction_data",
+            self._sign_payload(kind, asset, address),
+        )
+        posts = [RPC.decode_post(p) for p in reply["posts"]]
+        tx_data = [_decode_tx_data(rows) for rows in reply["transaction_data"]]
+        return list(zip(posts, tx_data))
+
+    def transaction_data(self, posts):
+        reply = self._call(
+            "/transaction_data",
+            {"posts": [RPC.encode_post(p) for p in posts]},
+        )
+        return [_decode_tx_data(rows) for rows in reply["transaction_data"]]
+
+    def identity_proof(self, asset: N.Asset, identifier_randomness: int):
+        reply = self._call(
+            "/identity_proof",
+            {
+                "asset_id": asset.id,
+                "value": asset.value,
+                "identifier_randomness": RPC._hx(identifier_randomness),
+            },
+        )
+        return RPC.decode_post(reply["post"])
+
+    def consolidate(self, asset_id: int):
+        reply = self._call("/consolidate", {"asset_id": asset_id})
+        return [RPC.decode_post(p) for p in reply["posts"]]

@@ -262,9 +262,39 @@ class WsSignerClient:
         return self._call("balance", {"asset_id": asset_id})["balance"]
 
     def sign(self, kind: str, asset, address=None):
+        """Full post chain, as the HTTP client (`SignResponse { posts }`)."""
         from manta_tpu.protocol import rpc as RPC
 
         payload = {"kind": kind, "asset_id": asset.id, "value": asset.value}
         if address is not None:
             payload["address"] = RPC._point(address)
-        return RPC.decode_post(self._call("sign", payload)["post"])
+        return [RPC.decode_post(p) for p in self._call("sign", payload)["posts"]]
+
+    def consolidate(self, asset_id: int):
+        from manta_tpu.protocol import rpc as RPC
+
+        reply = self._call("consolidate", {"asset_id": asset_id})
+        return [RPC.decode_post(p) for p in reply["posts"]]
+
+    def identity_proof(self, asset, identifier_randomness: int):
+        from manta_tpu.protocol import rpc as RPC
+
+        reply = self._call(
+            "identity_proof",
+            {
+                "asset_id": asset.id,
+                "value": asset.value,
+                "identifier_randomness": RPC._hx(identifier_randomness),
+            },
+        )
+        return RPC.decode_post(reply["post"])
+
+    def transaction_data(self, posts):
+        from manta_tpu.protocol import rpc as RPC
+        from manta_tpu.protocol import signer_rpc as SR
+
+        reply = self._call(
+            "transaction_data",
+            {"posts": [RPC.encode_post(p) for p in posts]},
+        )
+        return [SR._decode_tx_data(rows) for rows in reply["transaction_data"]]

@@ -117,7 +117,7 @@ def test_signer_rpc_end_to_end(tp_keys):
         client = SR.SignerClient(f"http://127.0.0.1:{signer_srv.port}")
         addr = client.address()
         assert addr == signer.address
-        post = client.sign("to_private", N.Asset(4, 120))
+        (post,) = client.sign("to_private", N.Asset(4, 120))
         ledger_client = RPC.LedgerClient(f"http://127.0.0.1:{ledger_srv.port}")
         ledger_client.push(post, sources=["erin"])
         deltas = client.sync()
@@ -146,7 +146,7 @@ def test_signer_websocket_end_to_end(tp_keys):
         assert client.ping()
         addr = client.address()
         assert addr == signer.address
-        post = client.sign("to_private", N.Asset(4, 120))
+        (post,) = client.sign("to_private", N.Asset(4, 120))
         ledger_client = RPC.LedgerClient(f"http://127.0.0.1:{ledger_srv.port}")
         ledger_client.push(post, sources=["fred"])
         deltas = client.sync()
@@ -199,7 +199,7 @@ def test_multi_network_signer(tp_keys):
         with pytest.raises(urllib.error.HTTPError):
             bare.address()
         # post a dolphin-side transfer end to end
-        post = dol.sign("to_private", N.Asset(4, 60))
+        (post,) = dol.sign("to_private", N.Asset(4, 60))
         RPC.LedgerClient(f"http://127.0.0.1:{srv.port}").push(
             post, sources=["gil"]
         )
@@ -208,3 +208,82 @@ def test_multi_network_signer(tp_keys):
     finally:
         sig_srv.stop()
         srv.stop()
+
+
+@pytest.fixture(scope="module")
+def full_keys():
+    return {
+        shape: TX.setup_shape(CFG_T, shape, seed=44)
+        for shape in ("to_private", "private_transfer", "to_public")
+    }
+
+
+def test_signer_rpc_extended_surface(full_keys):
+    """The full reference signer Connection over the wire
+    (`wallet/signer/mod.rs:119-158`): sign (spend chains), consolidate,
+    transaction_data, sign_with_transaction_data, identity_proof."""
+    ledger = L.Ledger(CFG_T, full_keys)
+    ledger.deposit("hana", 4, 1000)
+    ledger_srv = RPC.LedgerServer(ledger).start()
+    signer = W.Signer(CFG_T, full_keys, 77777, random.Random(31))
+    recipient = W.Signer(CFG_T, full_keys, 88888, random.Random(32))
+    signer_srv = SR.SignerServer(
+        signer, f"http://127.0.0.1:{ledger_srv.port}"
+    ).start()
+    try:
+        url = f"http://127.0.0.1:{signer_srv.port}"
+        client = SR.SignerClient(url)
+        ledger_client = RPC.LedgerClient(f"http://127.0.0.1:{ledger_srv.port}")
+        # three coins in, so spends exercise join-split chains
+        for value in (100, 150, 250):
+            (post,) = client.sign("to_private", N.Asset(4, value))
+            ledger_client.push(post, sources=["hana"])
+        assert client.sync().get(4) == 500
+
+        # transaction_data: the signer opens its own notes in its posts
+        (tp_post,) = client.sign("to_private", N.Asset(4, 60))
+        rows = client.transaction_data([tp_post])
+        assert len(rows) == 1 and len(rows[0]) == 1
+        pt, utxo = rows[0][0]
+        assert pt.asset.id == 4 and pt.asset.value == 60
+        assert utxo == tp_post.receiver_posts[0]["bundle"].utxo
+        ledger_client.push(tp_post, sources=["hana"])
+        client.sync()
+
+        # consolidate: many coins -> one, all posts ledger-valid
+        posts = client.consolidate(4)
+        assert posts, "expected join-split consolidation posts"
+        for post in posts:
+            ledger_client.push(post)
+        assert client.sync() is not None
+        assert client.balance(4) == 560
+        unspent = [c for c in signer.coins if not c.spent]
+        assert len(unspent) == 1 and unspent[0].plaintext.asset.value == 560
+
+        # sign_with_transaction_data on a spend: every post carries the
+        # signer-visible note openings (change outputs)
+        pairs = client.sign_with_transaction_data(
+            "private_transfer", N.Asset(4, 75), address=recipient.address
+        )
+        assert pairs
+        for post, tx_rows in pairs:
+            ledger_client.push(post)
+            for pt, _ in tx_rows:
+                assert pt.asset.id == 4
+        # final spend post: the change note (value 560-75) must be visible
+        final_rows = pairs[-1][1]
+        assert any(pt.asset.value == 560 - 75 for pt, _ in final_rows)
+
+        # identity_proof round-trip through the wire + host verification
+        ident_rand = 0xABCDEF
+        asset = N.Asset(4, 5)
+        proof_post = client.identity_proof(asset, ident_rand)
+        assert W.identity_verification(
+            CFG_T, full_keys, proof_post, asset, ident_rand, signer.address
+        )
+        assert not W.identity_verification(
+            CFG_T, full_keys, proof_post, asset, ident_rand + 1, signer.address
+        )
+    finally:
+        signer_srv.stop()
+        ledger_srv.stop()
