@@ -427,7 +427,9 @@ ED_ON_BN254 = EdwardsCurve(
 #: order 65353 is prime. Used to exercise the full device MSM/curve machinery
 #: with small compiled graphs (tests); NOT cryptographically meaningful.
 TOY_FQ = fields.FieldSpec(name="toy_fq", modulus=65521, generator=17)
-TOY_FR = fields.FieldSpec(name="toy_fr", modulus=65353, generator=3)
+# generator must be a PRIMITIVE root: 3 has order 2723 (odd), which made
+# two_adic_root == 1 and every toy NTT domain degenerate; 5 generates
+TOY_FR = fields.FieldSpec(name="toy_fr", modulus=65353, generator=5)
 TOY_G1 = WeierstrassCurve(
     name="toy_g1",
     field=TOY_FQ,

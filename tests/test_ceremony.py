@@ -168,3 +168,114 @@ class TestPpotFormat:
         matrices, _ = com.finalize()
         state = P2.initialize(parsed, matrices)
         assert state.domain_size <= 4
+
+
+def test_kzg_rlc_rejects_tampered_chain(rng):
+    """The random-linear-combination `power_pairs` compression must catch a
+    single corrupted power anywhere in any chain (`kzg.rs:509-546`)."""
+    import random as _random
+
+    acc = KZG.Accumulator.default(CFG, SIZE)
+    prev = copy.deepcopy(acc)
+    contribution = KZG.contribute(acc, 31, 37, 41, nonce=71)
+    det = _random.Random(9)
+    assert KZG.verify_transform(prev, acc, contribution, rng=det)
+
+    # corrupt one tau power mid-chain
+    bad = copy.deepcopy(acc)
+    bad.tau_powers_g1[5] = CFG.g1.double(bad.tau_powers_g1[5])
+    assert not KZG.verify_transform(
+        prev, bad, contribution, rng=_random.Random(9)
+    )
+    # corrupt one alpha power
+    bad = copy.deepcopy(acc)
+    bad.alpha_tau_powers_g1[3] = CFG.g1.add(
+        bad.alpha_tau_powers_g1[3], CFG.g1.generator
+    )
+    assert not KZG.verify_transform(
+        prev, bad, contribution, rng=_random.Random(9)
+    )
+    # corrupt a G2 power
+    bad = copy.deepcopy(acc)
+    bad.tau_powers_g2[2] = CFG.g2.double(bad.tau_powers_g2[2])
+    assert not KZG.verify_transform(
+        prev, bad, contribution, rng=_random.Random(9)
+    )
+    # swap the claimed tau proof for a different scalar's
+    bad_contrib = KZG.Contribution(
+        tau_proof=R.RatioProof.prove(CFG, b"x", 31, nonce=5),
+        alpha_proof=contribution.alpha_proof,
+        beta_proof=contribution.beta_proof,
+    )
+    assert not KZG.verify_transform(
+        prev, acc, bad_contrib, rng=_random.Random(9)
+    )
+
+
+def test_kzg_verify_pairing_count_constant(monkeypatch, rng):
+    """verify_transform's pairing count must not scale with accumulator
+    size (the round-4 implementation did ~4 pairings PER POWER)."""
+    import random as _random
+
+    counts = []
+    orig = R.same_ratio
+
+    def counting_same_ratio(cfg, a, b):
+        counts.append(1)
+        return orig(cfg, a, b)
+
+    monkeypatch.setattr(R, "same_ratio", counting_same_ratio)
+    for size in (4, 16):
+        acc = KZG.Accumulator.default(CFG, size)
+        prev = copy.deepcopy(acc)
+        contribution = KZG.contribute(acc, 31, 37, 41, nonce=71)
+        counts.clear()
+        assert KZG.verify_transform(
+            prev, acc, contribution, rng=_random.Random(3)
+        )
+        counts.append(("size", size, len(counts)))
+    # both sizes: identical same_ratio call count
+    four = [c for c in counts if isinstance(c, tuple)]
+    assert len({c[2] for c in four}) <= 1
+
+
+@pytest.mark.slow
+def test_kzg_device_contribute_matches_host():
+    """Device-batched `Accumulator::update` == host bignum (kzg.rs:444)."""
+    size = 8
+    host_acc = KZG.Accumulator.default(CFG, size)
+    dev_acc = copy.deepcopy(host_acc)
+    KZG.contribute(host_acc, 51, 53, 57, nonce=81, backend="host")
+    KZG.contribute(dev_acc, 51, 53, 57, nonce=81, backend="device")
+    assert dev_acc.tau_powers_g1 == host_acc.tau_powers_g1
+    assert dev_acc.tau_powers_g2 == host_acc.tau_powers_g2
+    assert dev_acc.alpha_tau_powers_g1 == host_acc.alpha_tau_powers_g1
+    assert dev_acc.beta_tau_powers_g1 == host_acc.beta_tau_powers_g1
+    assert dev_acc.beta_g2 == host_acc.beta_g2
+
+
+@pytest.mark.slow
+def test_kzg_scale_2pow12():
+    """Contribute + constant-pairing verify at 2^12 G2 powers (CI-scale
+    slice of the reference's G2_POWERS = 2^17, `config/ppot.rs:698-699`)."""
+    import random as _random
+    import time
+
+    size = 1 << 12
+    acc = KZG.Accumulator.default(CFG, size)
+    prev = copy.deepcopy(acc)
+    t0 = time.time()
+    contribution = KZG.contribute(acc, 63, 67, 71, nonce=91, backend="device")
+    t_contribute = time.time() - t0
+    t0 = time.time()
+    assert KZG.verify_transform(prev, acc, contribution, rng=_random.Random(5))
+    t_verify = time.time() - t0
+    print(f"kzg 2^12: contribute {t_contribute:.1f}s verify {t_verify:.1f}s")
+    # spot-check two powers against host bignum
+    r_mod = CFG.g1.scalar_field.modulus
+    assert acc.tau_powers_g1[3] == CFG.g1.scalar_mul(
+        pow(63, 3, r_mod), CFG.g1.generator
+    )
+    assert acc.alpha_tau_powers_g1[2] == CFG.g1.scalar_mul(
+        67 * pow(63, 2, r_mod) % r_mod, CFG.g1.generator
+    )
