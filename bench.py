@@ -144,11 +144,24 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     # < 2^56), so the whole check is L vectorized dots, not object math.
     sc_np = np.asarray(scalars)
     r_mod = curve.scalar_field.modulus
-    weights = np.arange(1, n + 1, dtype=np.uint64)
     total = 0
-    for i in range(sc_np.shape[0]):
-        dot = int(np.dot(sc_np[i].astype(np.uint64), weights))
-        total += dot << (16 * i)
+    if 16 + 2 * log2n < 64:
+        # uint64 dots are exact: limb < 2^16, weight <= 2^log2n, 2^log2n
+        # terms -> sum < 2^(16 + 2*log2n)
+        weights = np.arange(1, n + 1, dtype=np.uint64)
+        for i in range(sc_np.shape[0]):
+            dot = int(np.dot(sc_np[i].astype(np.uint64), weights))
+            total += dot << (16 * i)
+    else:
+        # 2^24+ points would overflow the uint64 dot: chunk the weighted
+        # sums so each partial stays exact, accumulate in Python ints
+        chunk = 1 << 20
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            weights = np.arange(lo + 1, hi + 1, dtype=np.uint64)
+            for i in range(sc_np.shape[0]):
+                dot = int(np.dot(sc_np[i, lo:hi].astype(np.uint64), weights))
+                total += dot << (16 * i)
     total %= r_mod
     expected = curve.scalar_mul(total, curve.generator)
     got = cops.decode_points(
