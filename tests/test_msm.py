@@ -255,3 +255,69 @@ class TestCountingSort:
             o = np.asarray(order)
             assert sorted(o.tolist()) == list(range(n))
             assert (np.sort(np.asarray(d)) == np.asarray(d)[o]).all()
+
+
+def test_glv_decomposition_host(rng):
+    """k == k1 + k2*lambda mod r with |k1|, |k2| < 2^127; limb packing
+    round-trips (the GLV half-length-scalar MSM's host side)."""
+    import numpy as np
+
+    from manta_tpu.ops import msm as M
+    from manta_tpu.utils import hostmath
+
+    curve = hostmath.BLS12_381_G1
+    r = curve.scalar_field.modulus
+    lam, beta, _ = M._glv_constants(curve)
+    # edge values + randoms
+    ks = [0, 1, r - 1, r // 2, lam, (lam * lam) % r] + [
+        rng.randrange(r) for _ in range(64)
+    ]
+    L = curve.scalar_field.num_limbs
+    sc = np.zeros((L, len(ks)), dtype=np.uint32)
+    for i, k in enumerate(ks):
+        for j in range(L):
+            sc[j, i] = (k >> (16 * j)) & 0xFFFF
+    abs2, neg2 = M.glv_decompose(curve, sc)
+    n = len(ks)
+    for i, k in enumerate(ks):
+        k1 = sum(int(abs2[j, i]) << (16 * j) for j in range(L))
+        k2 = sum(int(abs2[j, n + i]) << (16 * j) for j in range(L))
+        assert k1 < 1 << 127 and k2 < 1 << 127
+        if neg2[i]:
+            k1 = -k1
+        if neg2[n + i]:
+            k2 = -k2
+        assert (k1 + k2 * lam - k) % r == 0, f"lane {i}"
+    # beta consistency: (beta*x, y) == lambda * P on the host curve
+    G = curve.generator
+    p = curve.field.modulus
+    assert (beta * G[0] % p, G[1]) == curve.scalar_mul(lam, G)
+
+
+@pytest.mark.slow
+def test_glv_msm_matches_host_oracle(rng):
+    """Full GLV MSM on BLS12-381 G1 vs the host big-int oracle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from manta_tpu.ops import curve as C
+    from manta_tpu.ops import msm as M
+    from manta_tpu.utils import hostmath
+
+    curve = hostmath.BLS12_381_G1
+    cops = C.curve_ops_for(curve, "fused")
+    n = 256
+    g = curve.generator
+    points = [curve.scalar_mul(k + 1, g) for k in range(n)]
+    scalars = [rng.randrange(curve.scalar_field.modulus) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = curve.scalar_field.modulus - 1
+    expected = curve.msm(scalars, points)
+    L = curve.scalar_field.num_limbs
+    sc = np.zeros((L, n), dtype=np.uint32)
+    for i, k in enumerate(scalars):
+        for j in range(L):
+            sc[j, i] = (k >> (16 * j)) & 0xFFFF
+    pts = cops.encode_points(points)
+    result = M.msm_glv(cops, sc, pts, window_bits=8, column_steps=16)
+    assert cops.decode_points(result) == [expected]
