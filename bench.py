@@ -257,9 +257,44 @@ def run_groth16_stage():
         f"(n_ab={prover.n_ab}, n_lh={prover.n_lh}, window "
         f"{prover.window_bits})")
 
+    # warm the three programs CONCURRENTLY: the relay compiles requests
+    # from separate threads in parallel, so wall ~= the G2 program alone
+    # (measured serial: scalars 31s + G1 190s + G2 649s)
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    zm, zc = prover._encode_witness(assignments[0])
+
+    def warm_scalars():
+        jax.block_until_ready(prover._scalars_jit(zm, zc, prover._buffers))
+
+    def warm_g1():
+        sc = jnp.zeros((prover.fr.num_limbs, prover.n_lh), jnp.uint32)
+        jax.block_until_ready(
+            prover._run_msm(prover.g1, sc, prover.lh_pts, prover.n_lh).x
+        )
+
+    def warm_g2():
+        sc = jnp.zeros((prover.fr.num_limbs, prover.n_ab), jnp.uint32)
+        jax.block_until_ready(
+            prover._run_msm(prover.g2, sc, prover.b2_pts, prover.n_ab).x
+        )
+
+    threads = [
+        threading.Thread(target=f) for f in (warm_scalars, warm_g1, warm_g2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    log(f"[bench:g16] concurrent program warm: {time.time() - t0:.1f}s")
+
     t0 = time.time()
     proof = prover.prove(assignments[0], r_rand=7, s_rand=9)
-    log(f"[bench:g16] compile+first proof: {time.time() - t0:.1f}s")
+    log(f"[bench:g16] first proof: {time.time() - t0:.1f}s")
     if not G.verify(vk, proof, publics[0]):
         raise AssertionError("cached-prover proof failed to verify")
     log("[bench:g16] proof verified with the host pairing")

@@ -93,22 +93,28 @@ def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> np.ndarray:
     return F.encode_ints(spec, pw)
 
 
-def ntt(spec: FieldSpec, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """NTT along the last axis. a: (L, ..., n) Montgomery-form limbs."""
+def ntt_with_tables(
+    spec: FieldSpec,
+    a: jnp.ndarray,
+    perm: jnp.ndarray,
+    partner: jnp.ndarray,
+    hi_bit: jnp.ndarray,
+    tw: jnp.ndarray,
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """NTT core with the permutation/twiddle tables as traced ARGUMENTS.
+
+    `ntt` closes over the tables as compile-time constants — fine inside
+    larger programs at prover domains, but at 2^20 the baked tables are
+    ~1.4 GB of HLO constants, which the axon relay's request path cannot
+    carry. Standalone/bench callers jit THIS function with device-resident
+    tables instead."""
     n = a.shape[-1]
-    assert n & (n - 1) == 0, "n must be a power of two"
-    if n == 1:
-        return a
-    perm = jnp.asarray(_bit_reverse_perm(n))
     x = jnp.take(a, perm, axis=-1)
     batch_rank = x.ndim - 2  # axes between L and n
-    partner, hi_bit, tw = _stage_tables(spec, n, inverse)
-    partner = jnp.asarray(partner)
     bshape = (1,) * batch_rank
-    hi_bit = jnp.asarray(hi_bit).reshape(len(hi_bit), *bshape, n)
-    tw = jnp.asarray(tw).reshape(
-        tw.shape[0], spec.num_limbs, *bshape, n
-    )
+    hi_bit = hi_bit.reshape(hi_bit.shape[0], *bshape, n)
+    tw = tw.reshape(tw.shape[0], spec.num_limbs, *bshape, n)
 
     def stage(s, x):
         xp = jnp.take(x, partner[s], axis=-1)
@@ -130,6 +136,36 @@ def ntt(spec: FieldSpec, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
             ),
         )
     return x
+
+
+def device_tables(spec: FieldSpec, n: int, inverse: bool):
+    """(perm, partner, hi_bit, tw) as jnp arrays for `ntt_with_tables`."""
+    partner, hi_bit, tw = _stage_tables(spec, n, inverse)
+    return (
+        jnp.asarray(_bit_reverse_perm(n)),
+        jnp.asarray(partner),
+        jnp.asarray(hi_bit),
+        jnp.asarray(tw),
+    )
+
+
+def ntt(spec: FieldSpec, a: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """NTT along the last axis. a: (L, ..., n) Montgomery-form limbs."""
+    n = a.shape[-1]
+    assert n & (n - 1) == 0, "n must be a power of two"
+    if n == 1:
+        return a
+    perm = jnp.asarray(_bit_reverse_perm(n))
+    partner, hi_bit, tw = _stage_tables(spec, n, inverse)
+    return ntt_with_tables(
+        spec,
+        a,
+        perm,
+        jnp.asarray(partner),
+        jnp.asarray(hi_bit),
+        jnp.asarray(tw),
+        inverse,
+    )
 
 
 def intt(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

@@ -237,18 +237,48 @@ class _KernelCoordOps12:
     # -- ring ops --
 
     def mul(self, a, b):
-        """Sublane-BLOCKED schoolbook: the row-sliced form ((1, lanes)
-        extents per product) leaves 7/8 of the VPU sublanes idle; here
-        each limb j of b contributes one full-(L, lanes)-tile multiply
-        `a * b[j]` added at static offset j via jnp.pad (Pallas has no
-        scatter-add). Measured 1.42x the row-sliced form on-chip
-        (tools/tune_mul.py: 67.5 vs 47.4 Mmul/s)."""
+        """One-level Karatsuba over sublane-BLOCKED half-tile schoolbook.
+
+        The blocked schoolbook (full-(L, lanes)-tile multiply per limb of
+        b, static jnp.pad shifts — Pallas has no scatter-add) measured
+        1.42x the row-sliced form; splitting into 16-limb halves drops
+        the product phase from 1024 to 768 row-MACs and the shifted
+        accumulator adds from 65-row to 33-row arrays (tools/tune_mul.py
+        round 5: +4-7% over blocked, verified). Overflow headroom: sum
+        limbs < 2^13, so z1 = s - z0 - z2 columns are exact and
+        non-negative in u32, assembled columns < 1.25 * 2^30 and REDC
+        bumps keep the total under 2^31."""
         L = self.L
         W = 2 * L + 1
-        cols = jnp.zeros((W, a.shape[-1]), jnp.uint32)
-        for j in range(L):
-            prod = a * b[j][None, :]  # (L, lanes) full-tile multiply
-            cols = cols + jnp.pad(prod, ((j, W - L - j), (0, 0)))
+        if L % 2:  # odd limb counts: plain blocked schoolbook
+            cols = jnp.zeros((W, a.shape[-1]), jnp.uint32)
+            for j in range(L):
+                cols = cols + jnp.pad(
+                    a * b[j][None, :], ((j, W - L - j), (0, 0))
+                )
+            return self._redc(cols)
+        H = L // 2
+        a_lo, a_hi = a[:H], a[H:]
+        b_lo, b_hi = b[:H], b[H:]
+        s_a = a_lo + a_hi
+        s_b = b_lo + b_hi
+        WH = 2 * H + 1
+
+        def half_mul(x, y):
+            cols = jnp.zeros((WH, a.shape[-1]), jnp.uint32)
+            for j in range(H):
+                prod = x * y[j][None, :]  # (H, lanes) half-tile multiply
+                cols = cols + jnp.pad(prod, ((j, WH - H - j), (0, 0)))
+            return cols
+
+        z0 = half_mul(a_lo, b_lo)
+        z2 = half_mul(a_hi, b_hi)
+        z1 = half_mul(s_a, s_b) - z0 - z2  # exact per column (>= 0)
+        cols = (
+            jnp.pad(z0, ((0, W - WH), (0, 0)))
+            + jnp.pad(z1, ((H, W - WH - H), (0, 0)))
+            + jnp.pad(z2, ((L, W - WH - L), (0, 0)))
+        )
         return self._redc(cols)
 
     def sqr(self, a):

@@ -83,6 +83,94 @@ class _BlockedOps12(PK._KernelCoordOps12):
         return jnp.stack(outs)
 
 
+class _KaratsubaOps12(PK._KernelCoordOps12):
+    """One-level Karatsuba product phase over 16-limb halves: 3 x 16
+    half-tile multiplies (768 row-MACs vs 1024 schoolbook), with each
+    partial accumulated in its own 33-row array (the schoolbook's 65-row
+    accumulator adds are most of its non-MAC work). z1 columns are exact
+    in u32: z1 = s - z0 - z2 column-wise with s = (alo+ahi)(blo+bhi)."""
+
+    def mul(self, a, b):
+        L = self.L
+        H = L // 2
+        a_lo, a_hi = a[:H], a[H:]
+        b_lo, b_hi = b[:H], b[H:]
+        s_a = a_lo + a_hi  # lazy: < 2^13, products < 2^26, 16-deep < 2^30
+        s_b = b_lo + b_hi
+        WH = 2 * H + 1
+
+        def half_mul(x, y):
+            cols = jnp.zeros((WH, a.shape[-1]), jnp.uint32)
+            for j in range(H):
+                prod = x * y[j][None, :]
+                cols = cols + jnp.pad(prod, ((j, WH - H - j), (0, 0)))
+            return cols
+
+        z0 = half_mul(a_lo, b_lo)
+        z2 = half_mul(a_hi, b_hi)
+        s = half_mul(s_a, s_b)
+        z1 = s - z0 - z2  # exact per column (>= 0)
+        W = 2 * L + 1
+        cols = (
+            jnp.pad(z0, ((0, W - WH), (0, 0)))
+            + jnp.pad(z1, ((H, W - WH - H), (0, 0)))
+            + jnp.pad(z2, ((L, W - WH - L), (0, 0)))
+        )
+        return self._redc(cols)
+
+
+class _Karatsuba2Ops12(PK._KernelCoordOps12):
+    """Two-level Karatsuba (8-limb quarters): 9 quarter-muls = 576
+    row-MACs vs 1024 schoolbook / 768 one-level. Sum limbs < 2^14 at the
+    second level, products < 2^28, 8-deep < 2^31 — still exact in u32."""
+
+    def mul(self, a, b):
+        L = self.L
+        H = L // 2
+
+        def kara16(x, y, WH):
+            # one-level karatsuba of 16-limb operands (limbs < 2^13)
+            Q = 8
+            x_lo, x_hi = x[:Q], x[Q:]
+            y_lo, y_hi = y[:Q], y[Q:]
+            s_x = x_lo + x_hi
+            s_y = y_lo + y_hi
+            WQ = 2 * Q + 1
+
+            def qmul(u, v):
+                cols = jnp.zeros((WQ, u.shape[-1]), jnp.uint32)
+                for j in range(Q):
+                    cols = cols + jnp.pad(
+                        u * v[j][None, :], ((j, WQ - Q - j), (0, 0))
+                    )
+                return cols
+
+            z0 = qmul(x_lo, y_lo)
+            z2 = qmul(x_hi, y_hi)
+            z1 = qmul(s_x, s_y) - z0 - z2
+            return (
+                jnp.pad(z0, ((0, WH - WQ), (0, 0)))
+                + jnp.pad(z1, ((Q, WH - WQ - Q), (0, 0)))
+                + jnp.pad(z2, ((2 * Q, WH - WQ - 2 * Q), (0, 0)))
+            )
+
+        a_lo, a_hi = a[:H], a[H:]
+        b_lo, b_hi = b[:H], b[H:]
+        s_a = a_lo + a_hi
+        s_b = b_lo + b_hi
+        WH = 2 * H + 1
+        z0 = kara16(a_lo, b_lo, WH)
+        z2 = kara16(a_hi, b_hi, WH)
+        z1 = kara16(s_a, s_b, WH) - z0 - z2
+        W = 2 * L + 1
+        cols = (
+            jnp.pad(z0, ((0, W - WH), (0, 0)))
+            + jnp.pad(z1, ((H, W - WH - H), (0, 0)))
+            + jnp.pad(z2, ((L, W - WH - L), (0, 0)))
+        )
+        return self._redc(cols)
+
+
 def _chain_kernel(ops_cls, a_ref, b_ref, o_ref):
     ops = ops_cls(SPEC)
     a = ops.unpack(a_ref[...])
@@ -100,6 +188,8 @@ def chain_call(ops_name):
     ops_cls = {
         "rows": PK._KernelCoordOps12,
         "blocked": _BlockedOps12,
+        "karatsuba": _KaratsubaOps12,
+        "karatsuba2": _Karatsuba2Ops12,
     }[ops_name]
     L = SPEC.num_limbs
     spec_in = pl.BlockSpec(
@@ -130,7 +220,7 @@ def main():
     jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.zeros((8, 128))))
     muls = N * CHAIN
     results = {}
-    for name in ("rows", "blocked"):
+    for name in ("blocked", "karatsuba", "karatsuba2"):
         fn = jax.jit(lambda x, y, name=name: chain_call(name)(x, y))
         try:
             t0 = time.time()
