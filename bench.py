@@ -144,13 +144,14 @@ def run_msm_bench(log2n: int, reps: int, window_bits: int):
     sbits = curve.scalar_field.bits
 
     # GLV endomorphism path (BLS12-381 + fused backend): halves the
-    # window count via 2N half-length scalars. The host decomposition
-    # runs through the C batch kernel (manta_tpu/native/glv.c, ~0.3 s at
-    # 2^20 — pipelineable against the ~1.5 s device program in steady
-    # state); as in every round's convention, the timed region is the
-    # device MSM program over staged HBM inputs.
+    # window count via 2N half-length scalars. Measured SLOWER than the
+    # standard path at 2^20 (2.118 s vs 1.879 s same session: the
+    # column/bucket work is windows x lanes = constant under GLV, and
+    # the in-program phi-prep + double-width sort outweigh the halved
+    # reduce/horner) — default OFF, kept for single-scalar-mul use and
+    # the oracle-checked GLV test path.
     use_glv = (
-        os.environ.get("MANTA_BENCH_GLV", "1") == "1"
+        os.environ.get("MANTA_BENCH_GLV", "0") == "1"
         and backend == "fused"
         and curve.name == "bls12_381_g1"
     )
@@ -244,8 +245,10 @@ def run_groth16_stage():
     t0 = time.time()
     prover = DeviceProver.from_cache(os.path.join(root, ".bench_prover_pt.npz"))
     # one compiled G1 MSM program (a/b1 padded into the lh shape): each
-    # cold remote compile of the big MSM body costs minutes on the relay
-    prover.share_g1_shapes = True
+    # cold remote compile of the big MSM body costs minutes on the relay.
+    # MANTA_BENCH_G16_SHARE=0 trades +94 s of compile for ~20% better
+    # steady-state proofs/s (unpadded a/b1 MSMs).
+    prover.share_g1_shapes = os.environ.get("MANTA_BENCH_G16_SHARE", "1") == "1"
     with open(os.path.join(root, ".bench_prover_pt_aux.json")) as f:
         aux = json.load(f)
     vk = keyio.vk_from_bytes(
@@ -276,6 +279,11 @@ def run_groth16_stage():
         jax.block_until_ready(
             prover._run_msm(prover.g1, sc, prover.lh_pts, prover.n_lh).x
         )
+        if not prover.share_g1_shapes:
+            sc = jnp.zeros((prover.fr.num_limbs, prover.n_ab), jnp.uint32)
+            jax.block_until_ready(
+                prover._run_msm(prover.g1, sc, prover.a_pts, prover.n_ab).x
+            )
 
     def warm_g2():
         sc = jnp.zeros((prover.fr.num_limbs, prover.n_ab), jnp.uint32)

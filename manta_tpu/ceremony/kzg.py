@@ -165,8 +165,10 @@ def power_pairs(
     n = len(points) - 1
     assert n >= 1, "power chain needs at least two points"
     scalars = [rng.randrange(1, curve.scalar_field.modulus) for _ in range(n)]
-    left = curve.msm(scalars, list(points[:-1]))
-    right = curve.msm(scalars, list(points[1:]))
+    # Pippenger, not the naive oracle: at the reference's accumulator
+    # sizes (2^17 powers) naive is hours, Pippenger seconds
+    left = curve.msm_pippenger(scalars, list(points[:-1]))
+    right = curve.msm_pippenger(scalars, list(points[1:]))
     return left, right
 
 

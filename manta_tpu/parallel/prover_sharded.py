@@ -74,14 +74,19 @@ def prove_batch_sharded(
     mesh,
     rands: Optional[Sequence[tuple]] = None,
 ) -> List[G.Proof]:
-    """Prove B witnesses with the batch axis sharded across `mesh`
-    (B must be a multiple of the mesh size; one witness per device per
-    wave). Query points stay HBM-resident and replicated."""
+    """Prove B witnesses with the batch axis sharded across `mesh` (one
+    witness per device per wave). Ragged final waves are padded by
+    repeating the last witness (the duplicate proofs are dropped before
+    returning) — the reference's rayon batching has no divisibility
+    constraint and neither should this."""
     B = len(assignments)
     D = mesh.devices.size
-    assert B % D == 0, f"batch {B} not divisible by mesh size {D}"
     if rands is None:
         rands = [(0, 0)] * B
+    pad = (-B) % D
+    if pad:
+        assignments = list(assignments) + [assignments[-1]] * pad
+        rands = list(rands) + [rands[-1]] * pad
 
     # The sparse matrices + masks ride in as shard_map INPUTS with fully
     # replicated specs (P()), never closure captures — captured arrays are
@@ -106,7 +111,7 @@ def prove_batch_sharded(
         )
 
     proofs: List[G.Proof] = []
-    for wave in range(0, B, D):
+    for wave in range(0, B + pad, D):
         batch = assignments[wave : wave + D]
         enc = [prover._encode_witness(a) for a in batch]
         zm = jnp.stack([e[0] for e in enc])
@@ -168,4 +173,4 @@ def prove_batch_sharded(
             )
             r_rand, s_rand = rands[wave + i]
             proofs.append(prover._finish(accs, assignment, r_rand, s_rand))
-    return proofs
+    return proofs[:B]

@@ -147,3 +147,34 @@ def test_sharded_prove_verifies():
     )
     for proof, (_, digest) in zip(proofs, cases):
         assert G.verify(vk, proof, [digest])
+
+
+def test_sharded_prove_ragged_batch():
+    """B not divisible by the mesh size: padded wave, duplicates dropped
+    (the reference's batching has no divisibility constraint)."""
+    import random
+
+    from __graft_entry__ import _dryrun_circuit, _dryrun_prover
+    from manta_tpu import fields
+    from manta_tpu.models import groth16 as G
+    from manta_tpu.parallel.prover_sharded import prove_batch_sharded
+
+    mesh = MESH.data_mesh()
+    prover, matrices, vk = _dryrun_prover()
+    rng = random.Random(29)
+    fr = fields.BN254_FR
+    cases = []
+    for _ in range(mesh.devices.size + 3):  # 11 witnesses on 8 devices
+        _, assignment, digest, _ = _dryrun_circuit(
+            "prove", rng.randrange(fr.modulus)
+        )
+        cases.append((assignment, digest))
+    proofs = prove_batch_sharded(
+        prover,
+        [a for a, _ in cases],
+        mesh,
+        rands=[(i + 1, i + 2) for i in range(len(cases))],
+    )
+    assert len(proofs) == len(cases)
+    for proof, (_, digest) in zip(proofs, cases):
+        assert G.verify(vk, proof, [digest])
