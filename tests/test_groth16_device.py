@@ -100,6 +100,7 @@ def test_device_prover_batch(rng):
         assert G.verify(vk, proof, [digest])
 
 
+@pytest.mark.slow
 def test_prover_cache_roundtrip(tmp_path):
     """save_cache/from_cache provers produce byte-identical proofs (the
     driver bench reconstructs the production prover from disk)."""

@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +90,7 @@ def test_sharded_ntt_roundtrip(rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_msm_bls12_381(rng):
     """Production-curve sharded MSM on the mesh (same program shapes as
     the driver's dryrun_multichip, so this run pre-warms its cache)."""
@@ -119,6 +122,7 @@ def test_sharded_msm_bls12_381(rng):
     assert ops.decode_points(result) == [expected]
 
 
+@pytest.mark.slow
 def test_sharded_prove_verifies():
     """Batch-DP sharded prove over the mesh; every proof verifies.
     Mirrors dryrun_multichip's shapes exactly (shared compile cache)."""
@@ -149,6 +153,7 @@ def test_sharded_prove_verifies():
         assert G.verify(vk, proof, [digest])
 
 
+@pytest.mark.slow
 def test_sharded_prove_ragged_batch():
     """B not divisible by the mesh size: padded wave, duplicates dropped
     (the reference's batching has no divisibility constraint)."""
